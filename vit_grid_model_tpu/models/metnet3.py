@@ -1,0 +1,274 @@
+"""MetNet3: pad -> resnet -> downsample -> MaxViT -> upsample -> resnet ->
+1x1 head, with per-lead-time batch expansion and FiLM conditioning.
+
+TPU-native re-design of the reference grid model (``metnet3.py:191-505``) and
+its station-image variant (``metnet3.py:518-834``).  The whole forward is one
+jit-compiled NHWC program; the per-lead batch expansion (``repeat_interleave``,
+``metnet3.py:383``) becomes a leading (B*L) axis that shards cleanly over a
+data mesh.
+
+Parity-critical quirks reproduced exactly (SURVEY.md §2.4):
+
+#7  input repeated L times sample-major; lead times ``1..L`` tiled per sample
+    (``metnet3.py:382-383,407``);
+#8  pad to multiple of 14, centered (left=w//2 etc., ``metnet3.py:324-333``);
+#9  PM2.5 cycle channels [4,10,16,22] standardized inside forward with the
+    global mean/std, outputs de-standardized (``metnet3.py:356-380,428-429``);
+#10 conditioning reads raw-times row 6 regardless of input_dim
+    (``metnet3.py:405``);
+#11 month/day/hour embeddings concatenated along dim 0 then viewed as
+    channels — the resulting channel scrambling is reproduced bit-exactly
+    (``metnet3.py:395-401``);
+plus the resnet FiLM recipe (ReLU on cond before the linear,
+``metnet3.py:140-143``) and ChanLayerNorm's clamped-variance rsqrt.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vit_grid_model_tpu.core.config import MetNet3Config
+from vit_grid_model_tpu.models.maxvit import MaxViTSpec, maxvit_apply, maxvit_init
+from vit_grid_model_tpu.ops import nn as vnn
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# conditionable resnet blocks (reference ``metnet3.py:110-187``)
+# ---------------------------------------------------------------------------
+
+def _block_init(key, dim_in, dim_out, dtype):
+    return {
+        "proj": vnn.conv_init(key, 3, 3, dim_in, dim_out, dtype=dtype),
+        "norm": vnn.chan_layer_norm_init(dim_out, dtype),
+    }
+
+
+def _block_apply(p, x, scale_shift=None):
+    x = vnn.conv2d(p["proj"], x, padding=1)
+    x = vnn.chan_layer_norm(p["norm"], x)
+    if scale_shift is not None:
+        scale, shift = scale_shift
+        x = x * (scale + 1.0) + shift
+    return jax.nn.relu(x)
+
+
+def resnet_block_init(key, dim_in, dim_out, cond_dim=None, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "block1": _block_init(k1, dim_in, dim_out, dtype),
+        "block2": _block_init(k2, dim_out, dim_out, dtype),
+    }
+    if cond_dim is not None:
+        # reference: nn.Sequential(nn.ReLU(), nn.Linear(cond_dim, dim_out*2))
+        p["mlp"] = vnn.linear_init(k3, cond_dim, dim_out * 2, dtype=dtype)
+    if dim_in != dim_out:
+        p["res_conv"] = vnn.conv_init(k4, 1, 1, dim_in, dim_out, dtype=dtype)
+    return p
+
+
+def resnet_block_apply(p, x, cond=None):
+    scale_shift = None
+    if "mlp" in p and cond is not None:
+        c = vnn.linear(p["mlp"], jax.nn.relu(cond))        # (B, 2*dim_out)
+        scale, shift = jnp.split(c, 2, axis=-1)
+        scale_shift = (scale[:, None, None, :], shift[:, None, None, :])
+    h = _block_apply(p["block1"], x, scale_shift)
+    h = _block_apply(p["block2"], h)
+    res = vnn.conv2d(p["res_conv"], x, padding="VALID") if "res_conv" in p else x
+    return h + res
+
+
+def resnet_blocks_init(key, dim_in, dim_out, depth, cond_dim=None,
+                       dtype=jnp.float32):
+    blocks, curr = [], dim_in
+    for _ in range(depth):
+        key, sub = jax.random.split(key)
+        blocks.append(resnet_block_init(sub, curr, dim_out, cond_dim, dtype))
+        curr = dim_out
+    return {"blocks": blocks}
+
+
+def resnet_blocks_apply(p, x, cond=None):
+    for bp in p["blocks"]:
+        x = resnet_block_apply(bp, x, cond)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# padding helpers (reference ``metnet3.py:324-337``)
+# ---------------------------------------------------------------------------
+
+def pad_values(h: int, w: int, pad_size: int = 14) -> Tuple[int, int, int, int]:
+    """(left, right, top, bottom) zero padding centering (h, w) into the next
+    multiple of ``pad_size``."""
+    pad_h = (pad_size - h) % pad_size
+    pad_w = (pad_size - w) % pad_size
+    return pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2
+
+
+def pad_hw(x: Array, pad_size: int = 14) -> Tuple[Array, Tuple[int, int, int, int]]:
+    """Pad the trailing-but-one (H) and trailing (W) axes of an NHWC tensor."""
+    l, r, t, b = pad_values(x.shape[1], x.shape[2], pad_size)
+    cfg = [(0, 0)] * x.ndim
+    cfg[1] = (t, b)
+    cfg[2] = (l, r)
+    return jnp.pad(x, cfg), (l, r, t, b)
+
+
+def unpad_hw(x: Array, pv: Tuple[int, int, int, int]) -> Array:
+    l, r, t, b = pv
+    return x[:, t:x.shape[1] - b, l:x.shape[2] - r, :]
+
+
+# ---------------------------------------------------------------------------
+# MetNet3
+# ---------------------------------------------------------------------------
+
+def _vit_spec(cfg: MetNet3Config) -> MaxViTSpec:
+    return MaxViTSpec(
+        dim=cfg.n_start_channels,
+        depth=cfg.depth_tuple,
+        cond_dim=cfg.lead_time_emb_dim,
+        heads=cfg.n_heads,
+        dim_head=cfg.dim_head,
+        window_size=cfg.vit_window_size,
+        mbconv_expansion_rate=cfg.mbconv_expansion_rate,
+        mbconv_shrinkage_rate=cfg.mbconv_shrinkage_rate,
+        dropout=cfg.dropout,
+        num_register_tokens=cfg.num_register_tokens,
+        use_pallas=cfg.use_pallas_attention,
+    )
+
+
+def metnet3_init(key, cfg: MetNet3Config, dtype=jnp.float32):
+    keys = jax.random.split(key, 8)
+    n_in = cfg.n_input_channels
+    if cfg.concat_time_to_input:
+        n_in = n_in + cfg.lead_time_emb_dim + cfg.model_time_emb_dim * 3
+    params = {
+        "condition_lead_time": vnn.embedding_init(
+            keys[0], cfg.end_lead_time + 1, cfg.lead_time_emb_dim, dtype),
+        "condition_model_time": [
+            vnn.embedding_init(keys[1], 12 + 1, cfg.model_time_emb_dim, dtype),
+            vnn.embedding_init(keys[2], 31 + 1, cfg.model_time_emb_dim, dtype),
+            vnn.embedding_init(keys[3], 24 + 1, cfg.model_time_emb_dim, dtype),
+        ],
+        "resnet1": resnet_blocks_init(
+            keys[4], n_in, cfg.n_start_channels, cfg.resnet_block_depth,
+            cfg.lead_time_emb_dim, dtype),
+        "vit": maxvit_init(keys[5], _vit_spec(cfg), dtype),
+        "up": vnn.conv_init(keys[6], 2, 2, cfg.n_start_channels,
+                            cfg.n_start_channels, dtype=dtype),
+        "resnet2": resnet_blocks_init(
+            keys[7], cfg.n_start_channels, cfg.n_start_channels,
+            cfg.resnet_block_depth, cfg.lead_time_emb_dim, dtype),
+    }
+    key2 = jax.random.fold_in(key, 99)
+    if cfg.pm25:
+        params["classifier_pm25"] = vnn.conv_init(
+            key2, 1, 1, cfg.n_start_channels, 1, dtype=dtype)
+    if cfg.pm10:
+        params["classifier_pm10"] = vnn.conv_init(
+            jax.random.fold_in(key2, 1), 1, 1, cfg.n_start_channels,
+            len(cfg.pm10_boundaries) + 1, dtype=dtype)
+    return params
+
+
+def standardize_pm_channels(x: Array, cfg: MetNet3Config) -> Array:
+    """Standardize the four daily-cycle PM2.5 planes (and, for the
+    station-image variant, the extra observation channel) inside forward —
+    other species were standardized by the dataset (``metnet3.py:356-380``,
+    ``dataset.py:861-866``)."""
+    if cfg.normalization_method != "Standard":
+        return x
+    idx = list(cfg.pm25_channel_indices)
+    if cfg.stn_img_channel is not None:
+        idx = idx + [cfg.stn_img_channel]        # ``metnet3.py:701``
+    idx = jnp.asarray(idx)
+    planes = (x[:, :, idx] - cfg.pm25_mean) / cfg.pm25_std
+    return x.at[:, :, idx].set(planes)
+
+
+def _condition_time(params, cfg: MetNet3Config, target_time: Array,
+                    bl: int) -> Array:
+    """Build the 5 constant conditioning channels per (sample, lead), with the
+    reference's dim-0-concat scrambling of the month/day/hour embeddings
+    (quirk #11, ``metnet3.py:389-402``).
+
+    target_time: (B*L, 5) rows of (year, month, day, hour, lead_time), the
+    tensor the reference assembles at ``metnet3.py:405-409``.
+    Returns (B*L, lead_emb_dim + 3*model_time_emb_dim).
+    """
+    lead_emb = vnn.embedding(params["condition_lead_time"],
+                             target_time[:, -1].astype(jnp.int32))
+    model_time = target_time[:, 1:-1].astype(jnp.int32)           # (BL, 3) m/d/h
+    embs = [vnn.embedding(params["condition_model_time"][i], model_time[:, i])
+            for i in range(3)]                                    # (BL, e) each
+    # torch.cat along dim 0 then .view(B*L, -1): row i of the result takes
+    # flat elements [3e*i : 3e*(i+1)] of the stacked matrix — reproduce the
+    # scrambling exactly rather than concatenating along features.
+    scrambled = jnp.concatenate(embs, axis=0).reshape(bl, -1)     # (BL, 3e)
+    return jnp.concatenate([lead_emb, scrambled], axis=-1)
+
+
+def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
+                  training: bool = False, rng: Optional[Array] = None,
+                  return_features: bool = False) -> Array:
+    """Forward pass.
+
+    x:          (B, T, C, H, W) float — the CMAQ stack (T = window_size,
+                C = n_variables), matching the reference eval contract
+                (``evaluation_vit.py:248-250``).
+    timestamps: (B, T', 4) raw (year, month, day, hour) rows; row 6 is used
+                (quirk #10).
+    Returns (B, L, H, W) PM2.5 fields (de-standardized).
+    """
+    B, T, C, H, Wd = x.shape
+    L = cfg.end_lead_time
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    x = standardize_pm_channels(x, cfg)
+
+    # per-lead batch expansion, sample-major (B*L)
+    x = jnp.repeat(x, L, axis=0)                                   # (BL,T,C,H,W)
+    lead_times = jnp.tile(jnp.arange(1, L + 1), B)                 # (BL,)
+    cond = vnn.embedding(params["condition_lead_time"], lead_times)
+
+    # NHWC with fused (T*C) channel axis
+    x = x.reshape(B * L, T * C, H, Wd).transpose(0, 2, 3, 1)
+    x, pv = pad_hw(x, cfg.pad_multiple)
+    Hp, Wp = x.shape[1], x.shape[2]
+
+    if cfg.concat_time_to_input:
+        ts6 = jnp.repeat(timestamps[:, 6, :], L, axis=0)           # (BL, 4)
+        # append the lead column the reference concatenates (``metnet3.py:409``)
+        ts6 = jnp.concatenate(
+            [ts6, lead_times[:, None].astype(ts6.dtype)], axis=-1)  # (BL, 5)
+        time_feats = _condition_time(params, cfg, ts6, B * L)       # (BL, 5)
+        time_maps = jnp.broadcast_to(
+            time_feats[:, None, None, :], (B * L, Hp, Wp, time_feats.shape[-1]))
+        x = jnp.concatenate([x, time_maps.astype(x.dtype)], axis=-1)
+
+    x = x.astype(dtype)
+    cond = cond.astype(dtype)
+
+    out = resnet_blocks_apply(params["resnet1"], x, cond)
+    out = vnn.max_pool_2x(out)
+    out = maxvit_apply(params["vit"], out, cond, _vit_spec(cfg),
+                       training=training, rng=rng)
+    out = vnn.conv2d_transpose(params["up"], out, stride=2)
+    out = resnet_blocks_apply(params["resnet2"], out, cond)
+    out = unpad_hw(out, pv)                                        # (BL,H,W,ch)
+    if return_features:
+        return out
+
+    preds = vnn.conv2d(params["classifier_pm25"], out, padding="VALID")
+    preds = preds[..., 0].reshape(B, L, H, Wd).astype(jnp.float32)
+    if cfg.normalization_method == "Standard":
+        preds = preds * cfg.pm25_std + cfg.pm25_mean
+    return preds
