@@ -1,0 +1,222 @@
+"""Data-layer tests: cycle/lead arithmetic invariants, fault semantics,
+synthetic fixtures, the input pipeline, and byte-level parity of the
+assembled samples against the reference dataset classes."""
+
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from tests import conftest as C
+from vit_grid_model_tpu.data import assembly, readers, synthetic
+from vit_grid_model_tpu.data import timeutil as TU
+from vit_grid_model_tpu.data.datasets import (
+    AirOnlyDataset, AirSimulationReanalysisDatasetOnly,
+    AirSimulationReanalysisDatasetV3)
+from vit_grid_model_tpu.data.pipeline import BatchLoader
+
+
+# ---------------------------------------------------------------------------
+# timeutil
+# ---------------------------------------------------------------------------
+
+def test_cycle_refs_invariants():
+    """init_time + lead == valid time, lead >= 3, for every hour."""
+    for day in (datetime(2023, 1, 1), datetime(2023, 3, 1),
+                datetime(2022, 12, 31)):
+        for hour in range(24):
+            t = day.replace(hour=hour)
+            for ref in TU.cycle_refs(t):
+                init = datetime(ref.date.year, ref.date.month, ref.date.day,
+                                ref.cycle)
+                assert init + timedelta(hours=ref.lead) == t, (t, ref)
+                assert ref.lead >= 3
+
+
+def test_cycle_refs_match_reference_branches():
+    """Spot-check the hand-traced reference values (``dataset.py:755-781``)."""
+    # KST 2023-01-10 00:00 -> UTC 2023-01-09 15:00
+    refs = TU.cycle_refs(TU.kst_to_utc(datetime(2023, 1, 10, 0)))
+    by_cycle = {r.cycle: r for r in refs}
+    assert by_cycle[3].lead == 15 + 21 and by_cycle[3].date.day == 8
+    assert by_cycle[21].lead == 15 + 3 and by_cycle[21].date.day == 8
+    # UTC hour 2 (< 3): roll back two days, lead += 24
+    refs = TU.cycle_refs(datetime(2023, 1, 9, 2))
+    by_cycle = {r.cycle: r for r in refs}
+    assert by_cycle[3].date.day == 7 and by_cycle[3].lead == 2 + 21 + 24
+    assert by_cycle[9].date.day == 7 and by_cycle[9].lead == 2 + 15 + 24
+
+
+def test_file_name_formats():
+    ref = TU.CycleRef(3, datetime(2023, 1, 8), 36)
+    assert TU.cmaq_file_name("/sim", ref) == "/sim/2023/010803_36.npy"
+    assert (TU.reanalysis_file_name("/re", datetime(2023, 1, 9, 15))
+            == "/re/2023/ACONC.PM_RQ40i8a.KNU_09_01.20230109.nc")
+
+
+# ---------------------------------------------------------------------------
+# readers: zero-fill fault semantics
+# ---------------------------------------------------------------------------
+
+def test_missing_cmaq_file_zero_fills(tmp_path):
+    out = readers.load_cmaq_npy(str(tmp_path / "nope.npy"), 6, (82, 67))
+    assert out.shape == (6, 82, 67) and (out == 0).all()
+
+
+def test_malformed_cmaq_file_zero_fills(tmp_path):
+    p = tmp_path / "bad.npy"
+    np.save(p, np.zeros((5,)))          # wrong ndim
+    out = readers.load_cmaq_npy(str(p), 6, (82, 67))
+    assert out.shape == (6, 82, 67) and (out == 0).all()
+
+
+def test_fault_injection_hook(tmp_path):
+    p = tmp_path / "ok.npy"
+    np.save(p, np.ones((6, 82, 67), dtype=np.float32))
+    readers.clear_caches()
+    try:
+        readers.set_fault_injection(lambda path: "ok.npy" in path)
+        out = readers.load_cmaq_npy(str(p), 6, (82, 67))
+        assert (out == 0).all()
+    finally:
+        readers.set_fault_injection(None)
+        readers.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# synthetic tree + dataset assembly
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    paths = synthetic.generate_tree(
+        str(root), datetime(2023, 1, 10, 0), datetime(2023, 1, 10, 6),
+        prev_len=4, output_dim=2, korea_stn_num=8, china_stn_num=3)
+    readers.clear_caches()
+    return paths
+
+
+def _times(prev_len=4, output_dim=2):
+    return TU.eval_time_list(datetime(2023, 1, 10, 0),
+                             datetime(2023, 1, 10, 6), prev_len, output_dim)
+
+
+def _feats(times, total_stn=11, feat_dim=12):
+    rng = np.random.default_rng(0)
+    f = rng.random((len(times), total_stn, feat_dim)).astype(np.float32)
+    m = np.ones((len(times), total_stn))
+    return f, m
+
+
+def test_dataset_only_shapes(tree):
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirSimulationReanalysisDatasetOnly(
+        times, feats, masks, input_dim=3, output_dim=2, prev_len=4,
+        korea_stn_num=8, china_stn_num=3, cmaq_size=(82, 67),
+        sim_data_path=tree["sim_data_path"],
+        reanalysis_data_path=tree["analysis_data_path"],
+        feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    assert len(ds) == len(times) - 3 - 2
+    sim, curr, re, cls, raw, prev = ds[0]
+    assert sim.shape == (82, 67, 5 * 28)
+    assert curr.shape == (82, 67) and re.shape == (2, 82, 67)
+    assert cls.shape == (2, 82, 67) and set(np.unique(cls)) <= {0, 1, 2, 3}
+    assert raw.shape == (5, 4) and prev.shape == (4, 82, 67)
+    # lead channels are constant planes with valid lead hours
+    leads = sim[:, :, 24:28]
+    assert (leads == leads[0, 0]).all()
+    assert leads.min() >= 3 and leads.max() <= 51
+    # batching via the loader
+    loader = BatchLoader(ds, batch_size=2, num_workers=2)
+    batch = next(iter(loader))
+    assert batch[0].shape == (2, 82, 67, 140)
+    assert sum(b.shape[0] for b in (x[0] for x in [batch])) == 2
+
+
+@pytest.mark.skipif(not C.reference_available(),
+                    reason="reference checkout not mounted")
+def test_dataset_parity_vs_reference(tree):
+    """Byte-level parity of the whole assembled sample tuple vs the
+    reference ``Air_Simulation_Reanalysis_Dataset_only`` run on the same
+    synthetic tree (torch reference, xarray shimmed)."""
+    C.add_reference_to_path()
+    import dataset as ref_dataset
+
+    times = _times()
+    feats, masks = _feats(times)
+    kwargs = dict(input_dim=3, output_dim=2, prev_len=4, korea_stn_num=8,
+                  china_stn_num=3, cmaq_size=(82, 67),
+                  sim_data_path=tree["sim_data_path"],
+                  reanalysis_data_path=tree["analysis_data_path"],
+                  feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    ours = AirSimulationReanalysisDatasetOnly(times, feats, masks, **kwargs)
+    theirs = ref_dataset.Air_Simulation_Reanalysis_Dataset_only(
+        times, feats, masks, 3, 2, 4, 8, 3, (82, 67),
+        tree["sim_data_path"], tree["analysis_data_path"],
+        synthetic.DEFAULT_FEAT_INFOS)
+    assert len(ours) == len(theirs)
+    for idx in (0, len(ours) - 1):
+        a = ours[idx]
+        b = [t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+             for t in theirs[idx]]
+        names = ["simulation", "curr_reanalysis", "reanalysis",
+                 "reanalysis_class", "raw_times", "prev_pm25"]
+        for name, x, y in zip(names, a, b):
+            np.testing.assert_allclose(
+                np.asarray(x, dtype=np.float64),
+                np.asarray(y, dtype=np.float64),
+                rtol=1e-6, atol=1e-5, err_msg=f"{name}[{idx}]")
+
+
+@pytest.mark.skipif(not C.reference_available(),
+                    reason="reference checkout not mounted")
+def test_dataset_v3_parity_vs_reference(tree):
+    C.add_reference_to_path()
+    import dataset as ref_dataset
+
+    times = _times()
+    feats, masks = _feats(times)
+    ours = AirSimulationReanalysisDatasetV3(
+        times, feats, masks, input_dim=3, output_dim=2, prev_len=4,
+        korea_stn_num=8, china_stn_num=3, cmaq_size=(82, 67),
+        sim_data_path=tree["sim_data_path"],
+        reanalysis_data_path=tree["analysis_data_path"],
+        feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    theirs = ref_dataset.Air_Simulation_Reanalysis_Dataset_v3(
+        times, feats, masks, 3, 2, 4, 8, 3, (82, 67),
+        tree["sim_data_path"], tree["analysis_data_path"],
+        synthetic.DEFAULT_FEAT_INFOS)
+    a = ours[1]
+    b = [t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+         for t in theirs[1]]
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_allclose(np.asarray(x, dtype=np.float64),
+                                   np.asarray(y, dtype=np.float64),
+                                   rtol=1e-6, atol=1e-5, err_msg=str(i))
+
+
+def test_air_only_dataset(tree):
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirOnlyDataset(times, feats, masks, 3, 2, 4, 8, 3)
+    feats_s, masks_s, cls, vals, mask, raw, prev = ds[0]
+    assert feats_s.shape == (3, 11, 12)
+    assert masks_s.shape == (5, 11) and masks_s.dtype == bool
+    assert vals.shape == (2, 8) and cls.shape == (2, 8)
+    assert prev.shape == (4, 11)
+
+
+def test_loader_shuffle_and_order(tree):
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirOnlyDataset(times, feats, masks, 3, 2, 4, 8, 3)
+    ordered = BatchLoader(ds, batch_size=3, num_workers=2)
+    n = sum(b[0].shape[0] for b in ordered)
+    assert n == len(ds)
+    shuffled = BatchLoader(ds, batch_size=3, shuffle=True, seed=1,
+                           num_workers=2)
+    n2 = sum(b[0].shape[0] for b in shuffled)
+    assert n2 == len(ds)

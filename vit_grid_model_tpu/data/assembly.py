@@ -1,0 +1,156 @@
+"""CMAQ sample assembly: the pure-numpy core shared by every dataset class.
+
+Reproduces the reference's per-sample tensor contract
+(``dataset.py:1102-1416`` and clones) from the pure time functions in
+``timeutil`` and the cached readers in ``readers``:
+
+* per timestep, a 28-channel block: 6 species x 4 init cycles (03/09/15/21
+  UTC order) + 4 lead-time scalar planes (``dataset.py:734,848-851``);
+* species order CO, NO2, O3, PM10, PM2.5, SO2; all but PM2.5 standardized
+  with the global ``feat_infos`` stats — PM2.5 is deliberately left raw for
+  the model's in-forward standardization (``dataset.py:861-866``);
+* the stack is channels-last ``(H, W, T * 28)`` exactly as collated into
+  the eval loop's reshape (``evaluation_vit.py:248``);
+* ``prev_pm25_vals``: per historical hour, the mean of the four cycles' raw
+  PM2.5 planes (``dataset.py:819,925``).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from vit_grid_model_tpu.data import readers
+from vit_grid_model_tpu.data.timeutil import (cmaq_file_name, cycle_refs,
+                                              kst_to_utc)
+
+SPECIES = ("CO", "NO2", "O3", "PM10", "PM2.5", "SO2")
+PM25_SPECIES_INDEX = 4
+# species standardized at load; PM2.5 (index 4) stays raw
+_STANDARDIZED = (0, 1, 2, 3, 5)
+
+
+def cycle_block(t_kst: datetime, sim_data_path: str,
+                feat_infos: Dict[str, Tuple[float, float]], n_species: int,
+                grid_shape: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble one timestep's 28-channel block.
+
+    Returns (block (H, W, 4*S+4), pm25_cycles (4, H, W) raw, leads (4,)).
+    """
+    t_utc = kst_to_utc(t_kst)
+    refs = cycle_refs(t_utc)
+    h, w = grid_shape
+    s = n_species
+    block = np.zeros((h, w, 4 * s + 4), dtype=np.float32)
+    pm25 = np.zeros((4, h, w), dtype=np.float32)
+    leads = np.zeros((4,), dtype=np.float32)
+    for ci, ref in enumerate(refs):
+        raw = readers.load_cmaq_npy(cmaq_file_name(sim_data_path, ref),
+                                    s, grid_shape)
+        data = raw.copy()
+        for sp in _STANDARDIZED:
+            mean, std = feat_infos[SPECIES[sp]]
+            data[sp] = (data[sp] - mean) / std
+        pm25[ci] = raw[PM25_SPECIES_INDEX]
+        block[:, :, ci * s:(ci + 1) * s] = np.moveaxis(data, 0, -1)
+        leads[ci] = ref.lead
+    block[:, :, 4 * s:] = leads
+    return block, pm25, leads
+
+
+def assemble_simulation(times: Sequence[datetime], mod_idx: int, idx: int, *,
+                        input_dim: int, output_dim: int, prev_len: int,
+                        sim_data_path: str,
+                        feat_infos: Dict[str, Tuple[float, float]],
+                        n_species: int, grid_shape: Tuple[int, int],
+                        include_input_output: bool = True
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the full (H, W, (input+output) * (4S+4)) stack plus the
+    ``(prev_len, H, W)`` cycle-mean PM2.5 history.
+
+    Mirrors the three loops of ``dataset.py:1138-1409``: history hours
+    (``prev_len - input_dim`` of them) contribute only to ``prev_pm25``;
+    input and output hours fill the stack too.
+    """
+    h, w = grid_shape
+    s = n_species
+    bc = 4 * s + 4
+    total = input_dim + output_dim
+    sim = np.zeros((h, w, total * bc), dtype=np.float32)
+    prev_pm25 = np.zeros((prev_len, h, w), dtype=np.float32)
+
+    for t_idx in range(prev_len - input_dim):
+        _, pm25, _ = cycle_block(times[idx + t_idx], sim_data_path,
+                                 feat_infos, s, grid_shape)
+        prev_pm25[t_idx] = pm25.mean(axis=0)
+
+    for t_idx in range(input_dim):
+        t = times[mod_idx - input_dim + 1 + t_idx]
+        block, pm25, _ = cycle_block(t, sim_data_path, feat_infos, s,
+                                     grid_shape)
+        sim[:, :, t_idx * bc:(t_idx + 1) * bc] = block
+        prev_pm25[t_idx + (prev_len - input_dim)] = pm25.mean(axis=0)
+
+    for t_idx in range(output_dim):
+        t = times[mod_idx + t_idx + 1]
+        block, _, _ = cycle_block(t, sim_data_path, feat_infos, s, grid_shape)
+        off = (t_idx + input_dim) * bc
+        sim[:, :, off:off + bc] = block
+
+    return sim, prev_pm25
+
+
+def assemble_output_only_simulation(times: Sequence[datetime], mod_idx: int, *,
+                                    input_dim: int, output_dim: int,
+                                    sim_data_path: str,
+                                    feat_infos: Dict[str, Tuple[float, float]],
+                                    n_species: int,
+                                    grid_shape: Tuple[int, int]) -> np.ndarray:
+    """The v2 dataset's output-window-only stack ``(H, W, output*(4S+4))``
+    (``dataset.py:548-656``)."""
+    h, w = grid_shape
+    s = n_species
+    bc = 4 * s + 4
+    sim = np.zeros((h, w, output_dim * bc), dtype=np.float32)
+    for t_idx in range(output_dim):
+        t = times[mod_idx + t_idx + 1]
+        block, _, _ = cycle_block(t, sim_data_path, feat_infos, s, grid_shape)
+        sim[:, :, t_idx * bc:(t_idx + 1) * bc] = block
+    return sim
+
+
+def read_reanalysis_window(times: Sequence[datetime], mod_idx: int, *,
+                           output_dim: int, reanalysis_data_path: str,
+                           grid_shape: Tuple[int, int]
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """(curr_reanalysis (H, W), reanalysis (output_dim, H, W)) at the KST
+    sample time and the following ``output_dim`` hours
+    (``dataset.py:1121-1136``)."""
+    curr = readers.read_reanalysis_hour(reanalysis_data_path,
+                                       kst_to_utc(times[mod_idx]))
+    out = np.zeros((output_dim,) + tuple(grid_shape), dtype=np.float32)
+    for t_idx in range(output_dim):
+        t_utc = kst_to_utc(times[mod_idx]) + timedelta(hours=t_idx + 1)
+        out[t_idx] = readers.read_reanalysis_hour(reanalysis_data_path, t_utc)
+    return np.asarray(curr, dtype=np.float32), out
+
+
+RANGE_4CLASS = ((-1.0, 15.0), (15.0, 35.0), (35.0, 75.0), (75.0, np.inf))
+CLASS_FOUR = (0, 1, 2, 3)
+
+
+def assign_class(arr: np.ndarray, default: int = -1) -> np.ndarray:
+    """PM2.5 -> {0,1,2,3} class by the (15, 35, 75] thresholds.  The dataset
+    default for out-of-range (NaN) is -1 (``dataset.py:8-9``); the eval
+    driver's local copy defaults to 0 (``evaluation_vit.py:31-32``)."""
+    conds = [np.logical_and(arr > lo, arr <= hi) for lo, hi in RANGE_4CLASS]
+    return np.select(conds, CLASS_FOUR, default=default)
+
+
+def assign_class_masked(arr: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """``assign_class2``: invalid entries forced to -1 (``dataset.py:11-14``)."""
+    cls = assign_class(arr, default=-1)
+    cls[~mask] = -1
+    return cls

@@ -1,0 +1,111 @@
+"""Host-side input pipeline: threaded sample assembly + batch prefetch.
+
+The reference parallelizes input with 5 DataLoader worker *processes*
+(``evaluation_vit.py:138``).  The TPU-native replacement keeps assembly on
+host threads (the work is numpy + file I/O, which releases the GIL), batches
+with the dataset's ``collate``, and prefetches a bounded queue of ready
+batches so the accelerator never waits on the filesystem.  With sharding
+enabled, each batch is placed directly into the device layout
+(``jax.device_put`` with a ``NamedSharding``), so host->HBM transfer
+overlaps the previous step's compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class BatchLoader:
+    """Minimal DataLoader equivalent: map-style dataset -> batched numpy.
+
+    Deterministic order (``shuffle=False`` like the eval loader) unless a
+    seed is given; ``drop_last=False`` matches ``evaluation_vit.py:138``.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+                 seed: int = 0, num_workers: int = 4,
+                 prefetch_batches: int = 2, drop_last: bool = False,
+                 collate: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.drop_last = drop_last
+        self.collate = collate or getattr(dataset, "collate", None) or (
+            lambda samples: tuple(np.stack(f) for f in zip(*samples)))
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        end = (len(idx) // self.batch_size * self.batch_size
+               if self.drop_last else len(idx))
+        for s in range(0, end, self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            if len(chunk):
+                yield chunk
+
+    def __iter__(self) -> Iterator:
+        self._epoch += 1
+        out_q: "queue.Queue" = queue.Queue(self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in self._batch_indices():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                chunk))
+                        out_q.put(("batch", self.collate(samples)))
+            except BaseException as e:  # surface worker errors to consumer
+                out_q.put(("error", e))
+                return
+            out_q.put(("done", None))
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == "batch":
+                    yield payload
+                elif kind == "error":
+                    raise payload
+                else:
+                    return
+        finally:
+            stop.set()
+
+
+def device_prefetch(batches: Iterator, put: Callable) -> Iterator:
+    """Overlap host->device transfer with compute: keep one batch in flight.
+
+    ``put`` is typically ``lambda b: jax.device_put(b, sharding)``.
+    """
+    it = iter(batches)
+    try:
+        pending = put(next(it))
+    except StopIteration:
+        return
+    for nxt in it:
+        nxt_dev = put(nxt)
+        yield pending
+        pending = nxt_dev
+    yield pending
