@@ -1,0 +1,139 @@
+"""CLI: signature-compatible evaluation entry point.
+
+Accepts every flag of the reference CLI (``evaluation_vit.py:694-721``) with
+the same defaults, so ``vit_stn_exp.sh`` runs unmodified; TPU-specific flags
+are additive.  ``--gpus`` is accepted for compatibility and maps onto JAX
+device selection (``cpu`` forces the CPU backend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="evaluation MultiAir")
+    # --- reference-compatible surface (defaults identical) ---
+    p.add_argument("--seed", type=int, default=0, help="random seed")
+    p.add_argument("--batch_size", type=int, default=24,
+                   help="number of batch size")
+    p.add_argument("--data_path", type=str,
+                   default="../preprocessed_data_from_2016",
+                   help="path of data")
+    p.add_argument("--sim_data_path", type=str,
+                   default="../../short_term/nier_preprocessed/CMAQ",
+                   help="path of simulation data")
+    p.add_argument("--analysis_data_path", type=str,
+                   default="../analysis/CMAQ", help="path of analysis data")
+    p.add_argument("--model_name", type=str, default="",
+                   help="name of model to evaluate")
+    p.add_argument("--gpus", type=str, default="0",
+                   help="device id for execution (compat; 'cpu' forces CPU)")
+    p.add_argument("--hidden_dim", type=int, default=128,
+                   help="hidden dimension for LSTM")
+    p.add_argument("--output_dim", type=int, default=6,
+                   help="number of predictions")
+    p.add_argument("--input_dim", type=int, default=7,
+                   help="input window size")
+    p.add_argument("--prev_len", type=int, default=7,
+                   help="previous length for statistics of data")
+    p.add_argument("--feat_dim", type=int, default=12,
+                   help="feature dimension")
+    # --- TPU-native additions ---
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="torch .pkt or orbax dir; default "
+                        "check_points/{model_name}.pkt like the reference")
+    p.add_argument("--test_start", type=str, default="2023-01-01T00")
+    p.add_argument("--test_end", type=str, default="2023-03-31T23")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic data tree (no external data)")
+    p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth")
+    p.add_argument("--precision", type=str, default="highest",
+                   choices=["default", "high", "highest"],
+                   help="matmul precision (highest = f32 parity)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--log_dir", type=str, default="logs")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.gpus == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import numpy as np
+
+    from vit_grid_model_tpu.core.config import DataConfig, GridConfig, MetNet3Config
+    from vit_grid_model_tpu.evaluation import driver
+
+    np.random.seed(args.seed)
+
+    test_start = datetime.fromisoformat(args.test_start)
+    test_end = datetime.fromisoformat(args.test_end)
+
+    if args.synthetic:
+        from vit_grid_model_tpu.data import synthetic
+
+        paths = synthetic.generate_tree(
+            args.synthetic_root, test_start, test_end,
+            prev_len=args.prev_len, output_dim=args.output_dim)
+        args.data_path = paths["data_path"]
+        args.sim_data_path = paths["sim_data_path"]
+        args.analysis_data_path = paths["analysis_data_path"]
+
+    data_cfg = DataConfig(
+        input_dim=args.input_dim, output_dim=args.output_dim,
+        prev_len=args.prev_len, feat_dim=args.feat_dim, grid=GridConfig(),
+        data_path=args.data_path, sim_data_path=args.sim_data_path,
+        analysis_data_path=args.analysis_data_path)
+
+    feat_infos = driver.load_feat_infos(args.data_path)
+    model_cfg = MetNet3Config(
+        window_size=args.input_dim + args.output_dim, n_variables=24,
+        n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
+        pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
+        compute_dtype=args.compute_dtype)
+
+    ckpt = args.checkpoint or f"check_points/{args.model_name}.pkt"
+    if os.path.exists(ckpt) and ckpt.endswith(".pkt"):
+        from vit_grid_model_tpu.core.torch_import import convert_checkpoint
+
+        params = convert_checkpoint(ckpt, model_cfg)
+        print(f"loaded torch checkpoint: {ckpt}")
+    elif os.path.isdir(ckpt):
+        from vit_grid_model_tpu.core.checkpoint import restore_params
+        from vit_grid_model_tpu.models.metnet3 import metnet3_init
+
+        params = restore_params(ckpt, metnet3_init(
+            jax.random.PRNGKey(args.seed), model_cfg))
+        print(f"loaded orbax checkpoint: {ckpt}")
+    else:
+        from vit_grid_model_tpu.models.metnet3 import metnet3_init
+
+        print(f"checkpoint {ckpt} not found; using random init "
+              "(synthetic smoke mode)")
+        params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
+
+    print(f"devices: {jax.devices()}")
+    print(args)
+    metrics = driver.evaluate(
+        params, model_cfg, data_cfg, model_name=args.model_name or "model",
+        test_start=test_start, test_end=test_end,
+        batch_size=args.batch_size, num_workers=args.num_workers,
+        log_dir=args.log_dir, args_repr=str(args),
+        matmul_precision=args.precision, max_batches=args.max_batches)
+    summary = metrics.summary()
+    print("model RMSE: {:.4f}  MAE: {:.4f}  R: {:.4f}".format(
+        summary["model"]["RMSE"], summary["model"]["MAE"],
+        summary["model"]["R"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Checkpoint save/restore for framework pytrees.
+
+The reference only ever loads torch checkpoints (``evaluation_vit.py:109``);
+saving was done outside the repo.  Here both directions exist:
+
+* orbax for native pytree checkpoints (async-safe, multi-host aware);
+* ``core.torch_import`` for ingesting the reference's ``.pkt`` format;
+* a plain-numpy ``.npz`` fallback when orbax is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
+    """Save a param pytree.  Directory -> orbax; ``.npz`` suffix -> numpy."""
+    if path.endswith(".npz"):
+        np.savez(path, **_flatten_with_paths(params))
+        return path
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_params(path: str, like: Any) -> Any:
+    """Restore into the structure of ``like`` (an initialized pytree)."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        ref = _flatten_with_paths(like)
+        assert set(data.files) == set(ref.keys()), "checkpoint key mismatch"
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = []
+        for p, leaf in flat:
+            key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                           for q in p)
+            leaves.append(jax.numpy.asarray(data[key]))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(like), leaves)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)

@@ -1,0 +1,207 @@
+"""Evaluation driver: the TPU-native counterpart of the reference's
+``evaluation(args)`` (``evaluation_vit.py:59-692``).
+
+Same observable behavior — station/grid/stat metadata loading, the 2023-Q1
+test window, the batch loop with persistence / CMAQ-21h / CMAQ-avg baselines,
+and the byte-compatible metric log — but the model forward is one jit-ed XLA
+program, batches stream through the threaded prefetch loader instead of
+DataLoader worker processes, and data parallelism is a ``jax.sharding.Mesh``
+instead of ``torch.nn.DataParallel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from datetime import datetime
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
+from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
+from vit_grid_model_tpu.data.pipeline import BatchLoader
+from vit_grid_model_tpu.data.readers import _read_netcdf_var
+from vit_grid_model_tpu.data.timeutil import eval_time_list
+from vit_grid_model_tpu.evaluation.metrics import EvaluationMetrics
+from vit_grid_model_tpu.evaluation import logwriter
+from vit_grid_model_tpu.models.metnet3 import metnet3_apply
+
+
+# ---------------------------------------------------------------------------
+# metadata loading (``evaluation_vit.py:35-102``)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class StationInfo:
+    lats: np.ndarray
+    lons: np.ndarray
+    korea_regions: List[str]
+    korea_stn_num: int
+    china_stn_num: int
+    sim_coords: np.ndarray          # (korea, 2) grid indices
+    cmaq_coords: np.ndarray         # (H, W, 2) lat/lon
+
+    @property
+    def total(self) -> int:
+        return self.korea_stn_num + self.china_stn_num
+
+
+def load_stations(data_path: str, grid_shape=(82, 67)) -> StationInfo:
+    lats, lons, korea_regions = [], [], []
+    korea, china = 0, 0
+    with open(f"{data_path}/station_infos/korea.txt") as f:
+        for line in f:
+            row = line.strip().split(",")
+            lats.append(float(row[2]))
+            lons.append(float(row[3]))
+            korea_regions.append(row[-1])
+            korea += 1
+    with open(f"{data_path}/station_infos/china.txt") as f:
+        for line in f:
+            row = line.strip().split(",")
+            lats.append(float(row[2]))
+            lons.append(float(row[3]))
+            china += 1
+    sim_coords = np.zeros((korea, 2), dtype=int)
+    with open(f"{data_path}/station_infos/coords.txt") as f:
+        for i, line in enumerate(f):
+            row = line.strip().split(",")
+            sim_coords[i] = [int(row[0]), int(row[1])]
+    cmaq_coords = np.zeros(grid_shape + (2,), dtype=float)
+    grid_nc = f"{data_path}/station_infos/GRID_INFO_09km.nc"
+    cmaq_coords[:, :, 0] = _read_netcdf_var(grid_nc, "LAT")
+    cmaq_coords[:, :, 1] = _read_netcdf_var(grid_nc, "LON")
+    return StationInfo(np.asarray(lats), np.asarray(lons), korea_regions,
+                       korea, china, sim_coords, cmaq_coords)
+
+
+def load_feat_infos(data_path: str) -> Dict[str, Tuple[float, float]]:
+    out = {}
+    with open(f"{data_path}/feat_infos.txt") as f:
+        for line in f.readlines():
+            name, mean, std = line.strip().split(",")
+            if name == "feature":
+                continue
+            out[name] = (float(mean), float(std))
+    return out
+
+
+def load_ground_obs(data_path: str, times, total_stn: int, feat_dim: int):
+    """Hourly station obs -> (T, stations, feat_dim) + mask
+    (``evaluation_vit.py:124-133``)."""
+    feat = np.zeros((len(times), total_stn, feat_dim), dtype=np.float32)
+    mask = np.zeros((len(times), total_stn), dtype=np.float32)
+    for i, t in enumerate(times):
+        arr = np.load(f"{data_path}/ground_obs/{t.year}/{t.month}/"
+                      + t.strftime("%d%H") + ".npy")
+        feat[i] = arr[:, :feat_dim]
+        mask[i] = arr[:, -1]
+    return feat, mask
+
+
+# ---------------------------------------------------------------------------
+# the eval loop
+# ---------------------------------------------------------------------------
+
+def extract_baselines(simulation: np.ndarray, data_cfg: DataConfig,
+                      cells: int):
+    """(sim_21h, sim_avg) value series from the stacked CMAQ tensor: channel
+    22 (21h-cycle PM2.5) and the mean of the four cycle PM2.5 channels per
+    output hour (``evaluation_vit.py:271-276``)."""
+    B = simulation.shape[0]
+    L = data_cfg.output_dim
+    bc = data_cfg.block_channels
+    sim_21h = np.zeros((B, L, cells), dtype=np.float32)
+    sim_avg = np.zeros((B, L, cells), dtype=np.float32)
+    pm_idx = [4, 10, 16, 22]
+    for i in range(L):
+        blk = simulation[:, :, :, (i + data_cfg.input_dim) * bc:
+                         (i + data_cfg.input_dim + 1) * bc]
+        sim_21h[:, i] = blk[:, :, :, 22].reshape(B, cells)
+        sim_avg[:, i] = blk[:, :, :, pm_idx].mean(axis=3).reshape(B, cells)
+    return sim_21h, sim_avg
+
+
+def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
+             model_name: str = "model",
+             test_start: datetime = datetime(2023, 1, 1, 0),
+             test_end: datetime = datetime(2023, 3, 31, 23),
+             batch_size: int = 25, num_workers: int = 4,
+             log_dir: str = "logs", args_repr: str = "",
+             matmul_precision: str = "highest",
+             sharding: Optional[jax.sharding.Sharding] = None,
+             progress: bool = True,
+             max_batches: Optional[int] = None) -> EvaluationMetrics:
+    """Run the full evaluation; returns the metric accumulator (and appends
+    the reference-format log)."""
+    grid = data_cfg.grid
+    cells = grid.cells
+
+    feat_infos = load_feat_infos(data_cfg.data_path)
+    stations = load_stations(data_cfg.data_path, (grid.height, grid.width))
+    times = eval_time_list(test_start, test_end, data_cfg.prev_len,
+                           data_cfg.output_dim)
+    feats, masks = load_ground_obs(data_cfg.data_path, times, stations.total,
+                                   data_cfg.feat_dim)
+
+    dataset = AirSimulationReanalysisDatasetOnly(
+        times, feats, masks, input_dim=data_cfg.input_dim,
+        output_dim=data_cfg.output_dim, prev_len=data_cfg.prev_len,
+        korea_stn_num=stations.korea_stn_num,
+        china_stn_num=stations.china_stn_num,
+        cmaq_size=(grid.height, grid.width),
+        sim_data_path=data_cfg.sim_data_path,
+        reanalysis_data_path=data_cfg.analysis_data_path,
+        feat_infos=feat_infos)
+    loader = BatchLoader(dataset, batch_size=batch_size,
+                         num_workers=num_workers)
+
+    def forward(p, x, ts):
+        with jax.default_matmul_precision(matmul_precision):
+            return metnet3_apply(p, x, ts, model_cfg)
+
+    fwd = jax.jit(forward)
+    if sharding is not None:
+        params = jax.device_put(params, sharding)
+
+    metrics = EvaluationMetrics(data_cfg.output_dim)
+    L = data_cfg.output_dim
+    t0 = time.time()
+
+    for bi, (simulation, curr_re, reanalysis, re_cls, raw_times,
+             prev_vals) in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        B = simulation.shape[0]
+        # reshape contract of the eval loop (``evaluation_vit.py:248-249``)
+        sim_vit = simulation.reshape(
+            B, grid.height, grid.width, data_cfg.total_steps, -1
+        ).transpose(0, 3, 4, 1, 2)[:, :, :-4, :, :]
+
+        preds = fwd(params, jnp.asarray(sim_vit), jnp.asarray(raw_times))
+        preds = np.asarray(preds).reshape(B, L, cells)
+        preds[preds < 0.0] = 0.0                 # ``evaluation_vit.py:254``
+        if np.isnan(preds).any():                # NaN guard (``:256``)
+            raise FloatingPointError(
+                f"NaN in model output at batch {bi}")
+
+        persist = np.repeat(curr_re.reshape(B, 1, cells), L, axis=1)
+        sim_21h, sim_avg = extract_baselines(simulation, data_cfg, cells)
+
+        metrics.update(
+            model=preds, persist=persist, sim_21h=sim_21h, sim_avg=sim_avg,
+            truth=reanalysis.reshape(B, L, cells),
+            truth_cls=re_cls.reshape(B, L, cells))
+        if progress and bi % 10 == 0:
+            done = metrics.step_cnt * batch_size
+            rate = done / max(time.time() - t0, 1e-9)
+            print(f"eval batch {bi} ({done} samples, {rate:.1f} samples/s)",
+                  flush=True)
+
+    with logwriter.open_log(model_name, log_dir) as f:
+        logwriter.write_log(f, metrics, args_repr)
+    return metrics
