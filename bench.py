@@ -1,0 +1,114 @@
+"""Benchmark: grid-inference throughput of the shipped 12hr MaxViT MetNet3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.json): >=10x the PyTorch-CPU grid-inference throughput of
+the reference implementation on one v5e chip.  The reference measures
+1.233 grid-fields/sec on this image's CPU (torch 2.13, 1 core, B=1, steady
+state, ``/root/reference`` MetNet3 at the shipped 12hr architecture), so the
+baseline target is 12.33 fields/sec; ``vs_baseline`` = value / 12.33.
+Re-measure with ``python bench.py --measure-torch``.
+
+Timing uses a host-side fetch per step: on the axon TPU tunnel
+``block_until_ready`` returns before execution completes, so only a device->
+host readback gives honest numbers.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TORCH_CPU_FIELDS_PER_SEC = 1.233     # measured, see module docstring
+TARGET_MULTIPLIER = 10.0
+
+
+def measure_torch_cpu() -> float:
+    import types
+
+    sys.path.insert(0, "/root/reference/src")
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    mod = types.ModuleType("ipdb")
+    mod.set_trace = lambda *a, **k: None
+    sys.modules["ipdb"] = mod
+    import metnet3 as ref
+
+    torch.manual_seed(0)
+    tm = ref.MetNet3(input_size_sample=(25, 24, 82, 67),
+                     n_start_channels=128, end_lead_time=12,
+                     pm25_boundaries=[15, 35, 75],
+                     pm10_boundaries=[15, 35, 75],
+                     pm25_mean=22.5, pm25_std=15.5)
+    tm.eval()
+    x = torch.rand(1, 25, 24, 82, 67) * 50
+    ts = torch.tensor([[[2023., 1., 15., 6.]] * 25])
+    with torch.no_grad():
+        tm(x, timestamps=ts)
+        t0 = time.time()
+        tm(x, timestamps=ts)
+        dt = time.time() - t0
+    return 12 / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--precision", type=str, default="default")
+    ap.add_argument("--fuse-lead-stem", action="store_true", default=True)
+    ap.add_argument("--no-fuse-lead-stem", dest="fuse_lead_stem",
+                    action="store_false")
+    ap.add_argument("--measure-torch", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_torch:
+        print(json.dumps({"torch_cpu_fields_per_sec": measure_torch_cpu()}))
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_grid_model_tpu.core.config import MetNet3Config
+    from vit_grid_model_tpu.models.metnet3 import metnet3_apply, metnet3_init
+
+    cfg = MetNet3Config(
+        window_size=25, n_variables=24, n_start_channels=128,
+        end_lead_time=12, pm25_mean=22.5, pm25_std=15.5,
+        compute_dtype=args.dtype, fuse_lead_stem=args.fuse_lead_stem)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    B = args.batch
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (B, 25, 24, 82, 67)) * 50.0
+    ts = jnp.tile(jnp.asarray([2023.0, 1.0, 15.0, 6.0]), (B, 25, 1))
+
+    def forward(p, xx, tt):
+        with jax.default_matmul_precision(args.precision):
+            return metnet3_apply(p, xx, tt, cfg)
+
+    fwd = jax.jit(forward)
+    float(fwd(params, x, ts).sum())          # compile + warm
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(args.iters):
+        acc += float(fwd(params, x, ts).sum())   # host sync each step
+    dt = (time.time() - t0) / args.iters
+    fields_per_sec = B * cfg.end_lead_time / dt
+
+    baseline = TORCH_CPU_FIELDS_PER_SEC * TARGET_MULTIPLIER
+    print(json.dumps({
+        "metric": "grid_fields_per_sec_per_chip_12hr_maxvit_infer",
+        "value": round(fields_per_sec, 2),
+        "unit": "fields/sec",
+        "vs_baseline": round(fields_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

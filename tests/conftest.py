@@ -7,7 +7,7 @@ import sys
 
 import numpy as np
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +18,12 @@ import jax
 # This build's default matmul precision approximates f32 matmuls with bf16
 # passes; golden-activation parity vs torch needs true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The axon sitecustomize (TPU tunnel) overrides platform selection through
+# jax.config, ignoring the env var — force the CPU mesh back at the same
+# layer so multi-device sharding tests run on 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 REFERENCE_SRC = "/root/reference/src"
 

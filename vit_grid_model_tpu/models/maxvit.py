@@ -109,9 +109,17 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
 
 
 def maxvit_apply(params, x: Array, cond: Array, spec: MaxViTSpec, *,
-                 training: bool = False, rng: Optional[Array] = None) -> Array:
+                 training: bool = False, rng: Optional[Array] = None,
+                 collect_bn: Optional[list] = None) -> Array:
     """x: (B, H, W, C) NHWC; cond: (B, cond_dim).  H, W divisible by the
-    window size (the caller pads, ``metnet3.py:324``)."""
+    window size (the caller pads, ``metnet3.py:324``).
+
+    In training mode with ``collect_bn`` a list, MBConv batch-norms use batch
+    statistics and append their updated running stats (one dict per layer) to
+    the list — the trainer merges them back into the param pytree.
+    """
+    from vit_grid_model_tpu.ops.mbconv import mbconv_train
+
     w = spec.window_size
     nr = spec.num_register_tokens
     bias_idx = W.relative_position_indices(w, nr)
@@ -123,9 +131,15 @@ def maxvit_apply(params, x: Array, cond: Array, spec: MaxViTSpec, *,
         if training and rng is not None:
             rng = jax.random.fold_in(rng, li + 1)
 
-        x = mbconv(layer_p["conv"], x, dim_in=dim_in, dim_out=dim_out,
-                   downsample=is_first, dropout_rate=0.0, training=training,
-                   dropout_key=keys[0])
+        if training and collect_bn is not None:
+            x, bn_stats = mbconv_train(
+                layer_p["conv"], x, dim_in=dim_in, dim_out=dim_out,
+                downsample=is_first, dropout_rate=0.0, dropout_key=keys[0])
+            collect_bn.append(bn_stats)
+        else:
+            x = mbconv(layer_p["conv"], x, dim_in=dim_in, dim_out=dim_out,
+                       downsample=is_first, dropout_rate=0.0,
+                       training=training, dropout_key=keys[0])
 
         b = x.shape[0]
         # ---- block (local-window) attention ----

@@ -218,7 +218,8 @@ def _condition_time(params, cfg: MetNet3Config, target_time: Array,
 
 def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                   training: bool = False, rng: Optional[Array] = None,
-                  return_features: bool = False) -> Array:
+                  return_features: bool = False,
+                  collect_bn: Optional[list] = None) -> Array:
     """Forward pass.
 
     x:          (B, T, C, H, W) float — the CMAQ stack (T = window_size,
@@ -231,6 +232,13 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     B, T, C, H, Wd = x.shape
     L = cfg.end_lead_time
     dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        # throughput mode: run the whole network in bf16 (weights + acts);
+        # matmul accumulation stays f32 via preferred_element_type, and the
+        # head output is cast back to f32 before de-standardization.
+        params = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
 
     x = standardize_pm_channels(x, cfg)
 
@@ -260,7 +268,7 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     out = resnet_blocks_apply(params["resnet1"], x, cond)
     out = vnn.max_pool_2x(out)
     out = maxvit_apply(params["vit"], out, cond, _vit_spec(cfg),
-                       training=training, rng=rng)
+                       training=training, rng=rng, collect_bn=collect_bn)
     out = vnn.conv2d_transpose(params["up"], out, stride=2)
     out = resnet_blocks_apply(params["resnet2"], out, cond)
     out = unpad_hw(out, pv)                                        # (BL,H,W,ch)
