@@ -200,3 +200,162 @@ def convert_metnet3_state_dict(sd: Dict[str, np.ndarray],
 def convert_checkpoint(path: str, cfg: MetNet3Config) -> dict:
     """One-call conversion of a ``.pkt`` file (``evaluation_vit.py:109``)."""
     return convert_metnet3_state_dict(load_torch_state_dict(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# legacy model family (``model.py``) converters
+# ---------------------------------------------------------------------------
+
+def _lstm(sd, prefix) -> dict:
+    return {
+        "w_ih": jnp.asarray(sd[f"{prefix}.weight_ih"]),
+        "w_hh": jnp.asarray(sd[f"{prefix}.weight_hh"]),
+        "b_ih": jnp.asarray(sd[f"{prefix}.bias_ih"]),
+        "b_hh": jnp.asarray(sd[f"{prefix}.bias_hh"]),
+    }
+
+
+def _mha_params(sd, prefix) -> dict:
+    return {
+        "in_proj_w": jnp.asarray(sd[f"{prefix}.in_proj_weight"]),
+        "in_proj_b": jnp.asarray(sd[f"{prefix}.in_proj_bias"]),
+        "out_proj": _lin_p(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _time_encode(sd, prefix) -> dict:
+    return {"w": jnp.asarray(sd[f"{prefix}.w.weight"]),
+            "b": jnp.asarray(sd[f"{prefix}.w.bias"])}
+
+
+def _revin(sd, prefix) -> dict:
+    p = {}
+    if f"{prefix}.affine_weight" in sd:
+        p = {"affine_weight": jnp.asarray(sd[f"{prefix}.affine_weight"]),
+             "affine_bias": jnp.asarray(sd[f"{prefix}.affine_bias"])}
+    return p
+
+
+def _dishts(sd, prefix) -> dict:
+    return {"reduce_mlayer": jnp.asarray(sd[f"{prefix}.reduce_mlayer"]),
+            "gamma": jnp.asarray(sd[f"{prefix}.gamma"]),
+            "beta": jnp.asarray(sd[f"{prefix}.beta"])}
+
+
+_TIME_ENCODERS = ("lat_encoder", "lon_encoder", "month_encoder",
+                  "day_encoder", "hour_encoder")
+
+
+def convert_station_model(sd: Dict[str, np.ndarray], variant: str,
+                          lats, lons) -> dict:
+    """MultiAir / simulation_model(_avg) / wo_simulation_model state_dict ->
+    ``station_model_init``-shaped pytree.  ``lats``/``lons`` are plain
+    attributes in torch (not in the state_dict) so they come from the
+    caller, like the reference constructors (``model.py:279-280``)."""
+    sd = strip_data_parallel(sd)
+    p = {
+        "lats": jnp.asarray(np.asarray(lats, np.float32)),
+        "lons": jnp.asarray(np.asarray(lons, np.float32)),
+        "lstmcell": _lstm(sd, "lstmcell"),
+        "decoder": _lstm(sd, "decoder"),
+        "last_fc": _lin_p(sd, "last_fc"),
+        "hidden_init": jnp.asarray(sd["hidden_init"]),
+        "cell_init": jnp.asarray(sd["cell_init"]),
+    }
+    for enc in _TIME_ENCODERS:
+        p[enc] = _time_encode(sd, enc)
+    if variant == "multiair":
+        p["mha"] = _mha_params(sd, "mha")
+        if "revin_layer.affine_weight" in sd:
+            p["revin_layer"] = _revin(sd, "revin_layer")
+        if "dishts_layer.reduce_mlayer" in sd:
+            p["dishts_layer"] = _dishts(sd, "dishts_layer")
+    else:
+        p["mha_e"] = _mha_params(sd, "mha_e")
+        p["mha_d"] = _mha_params(sd, "mha_d")
+        p["revin_layer"] = _revin(sd, "revin_layer")
+        if "simulation_hour_encoder.w.weight" in sd:
+            p["simulation_hour_encoder"] = _time_encode(
+                sd, "simulation_hour_encoder")
+    return p
+
+
+def convert_grid_model(sd: Dict[str, np.ndarray], version: int,
+                       lats, lons, cmaq_coords) -> dict:
+    """simulation_grid_model{,_v2,_v3} state_dict ->
+    ``grid_model_init``-shaped pytree.  v1's decode-only grid LSTM is named
+    ``grid_decoder_lstm`` (``model.py:917``); v2/v3 share ``grid_lstm``."""
+    sd = strip_data_parallel(sd)
+    grid_lstm_name = "grid_decoder_lstm" if version == 1 else "grid_lstm"
+    p = {
+        "lats": jnp.asarray(np.asarray(lats, np.float32)),
+        "lons": jnp.asarray(np.asarray(lons, np.float32)),
+        "cmaq_coords": jnp.asarray(np.asarray(cmaq_coords, np.float32)),
+        "station_encoder_lstm": _lstm(sd, "station_encoder_lstm"),
+        "station_decoder_lstm": _lstm(sd, "station_decoder_lstm"),
+        "grid_lstm": _lstm(sd, grid_lstm_name),
+        "mha_e": _mha_params(sd, "mha_e"),
+        "mha_d": _mha_params(sd, "mha_d"),
+        "last_fc": _lin_p(sd, "last_fc"),
+        "station_hidden_init": jnp.asarray(sd["station_hidden_init"]),
+        "station_cell_init": jnp.asarray(sd["station_cell_init"]),
+        "grid_hidden_init": jnp.asarray(sd["grid_hidden_init"]),
+        "grid_cell_init": jnp.asarray(sd["grid_cell_init"]),
+        "simulation_hour_encoder": _time_encode(sd,
+                                                "simulation_hour_encoder"),
+    }
+    for enc in _TIME_ENCODERS:
+        p[enc] = _time_encode(sd, enc)
+    if "revin_layer.affine_weight" in sd:
+        p["revin_layer"] = _revin(sd, "revin_layer")
+    if "dishts_layer.reduce_mlayer" in sd:
+        p["dishts_layer"] = _dishts(sd, "dishts_layer")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# SimVP converter (``model.py:146-249``, ``modules.py``)
+# ---------------------------------------------------------------------------
+
+def _basic_conv(sd, prefix, transpose: bool) -> dict:
+    w = sd[f"{prefix}.conv.weight"]
+    conv = {"w": _conv_transpose(w) if transpose else _conv(w)}
+    if f"{prefix}.conv.bias" in sd:
+        conv["b"] = _vec(sd[f"{prefix}.conv.bias"])
+    return {"conv": conv,
+            "norm": {"g": _vec(sd[f"{prefix}.norm.weight"]),
+                     "b": _vec(sd[f"{prefix}.norm.bias"])}}
+
+
+def _inception(sd, prefix, n_branches: int) -> dict:
+    return {
+        "conv1": _conv_p(sd, f"{prefix}.conv1"),
+        "layers": [_basic_conv(sd, f"{prefix}.layers.{j}", transpose=False)
+                   for j in range(n_branches)],
+    }
+
+
+def convert_simvp(sd: Dict[str, np.ndarray], n_s: int, n_t: int,
+                  n_branches: int = 4) -> dict:
+    """SimVP_adv state_dict -> ``simvp_init``-shaped pytree.  Decoder convs
+    with stride 2 are ConvTranspose2d in torch (``modules.py:8-11``) —
+    stride-1 ConvSC layers force transpose=False (``modules.py:26``)."""
+    from vit_grid_model_tpu.models.simvp import stride_generator
+
+    sd = strip_data_parallel(sd)
+    enc_layers = [_basic_conv(sd, f"enc.enc.{i}.conv", transpose=False)
+                  for i in range(n_s)]
+    dec_strides = stride_generator(n_s, reverse=True)
+    dec_layers = [_basic_conv(sd, f"dec.dec.{i}.conv",
+                              transpose=dec_strides[i] == 2)
+                  for i in range(n_s)]
+    return {
+        "enc": {"enc": enc_layers},
+        "hid": {
+            "enc": [_inception(sd, f"hid.enc.{i}", n_branches)
+                    for i in range(n_t)],
+            "dec": [_inception(sd, f"hid.dec.{i}", n_branches)
+                    for i in range(n_t)],
+        },
+        "dec": {"dec": dec_layers, "readout": _conv_p(sd, "dec.readout")},
+    }
