@@ -1,0 +1,119 @@
+"""Training-stack tests: losses, one train step, loss decrease on a synthetic
+overfit task, BN-stat updates, and multi-device data-parallel equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import conftest as C  # noqa: F401  (device/precision setup)
+from vit_grid_model_tpu.core.config import MeshConfig, MetNet3Config, TrainConfig
+from vit_grid_model_tpu.models.metnet3 import metnet3_init
+from vit_grid_model_tpu.parallel import mesh as meshlib
+from vit_grid_model_tpu.train import losses as L
+from vit_grid_model_tpu.train.trainer import (build_train_step,
+                                              init_train_state)
+
+
+def _cfg():
+    return MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
+                         end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                         n_heads=4, dim_head=4)
+
+
+def _batch(cfg, B=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "x": rng.random((B, cfg.window_size, cfg.n_variables, 82, 67),
+                        dtype=np.float32) * 50,
+        "timestamps": np.tile(np.asarray([2023., 1., 15., 6.], np.float32),
+                              (B, 7, 1)),
+        "targets": rng.random((B, cfg.end_lead_time, 82, 67),
+                              dtype=np.float32) * 60,
+    }
+
+
+def test_losses_basics():
+    p = jnp.asarray([[10.0, 20.0], [30.0, 40.0]])
+    t = jnp.asarray([[12.0, jnp.nan], [30.0, 50.0]])
+    # NaN targets ignored everywhere
+    for fn in (L.focal_r_loss, L.mse_loss, L.mae_loss,
+               lambda a, b: L.huber_loss(a, b)):
+        v = fn(p, t)
+        assert np.isfinite(float(v))
+    # focal weight shrinks small errors relative to MSE ordering
+    small = L.focal_r_loss(jnp.asarray([1.0]), jnp.asarray([1.1]), base="l1")
+    big = L.focal_r_loss(jnp.asarray([1.0]), jnp.asarray([50.0]), base="l1")
+    assert float(big) > float(small)
+    # zero error -> (near) minimal loss
+    assert float(L.focal_r_loss(p, p)) < 1e-6
+
+
+def test_pm_class_cross_entropy():
+    logits = jnp.zeros((2, 3, 4))          # uniform -> -log(1/4)
+    targets = jnp.asarray([[10.0, 20.0, jnp.nan], [40.0, 80.0, 90.0]])
+    v = L.pm_class_cross_entropy(logits, targets, [15.0, 35.0, 75.0])
+    np.testing.assert_allclose(float(v), np.log(4.0), rtol=1e-6)
+
+
+def test_train_step_runs_and_updates():
+    cfg = _cfg()
+    tc = TrainConfig(total_steps=10, warmup_steps=1, batch_size=4)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, tc)
+    step = build_train_step(cfg, tc)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state, metrics = step(state, _batch(cfg))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # weights moved
+    moved = jax.tree.map(lambda a, b: np.abs(np.asarray(a) - b).max(),
+                         state.params, before)
+    assert max(jax.tree.leaves(moved)) > 0
+    # BN running stats updated away from the (0, 1) init
+    bn = state.params["vit"]["layers"][0]["conv"]["bn1"]
+    assert np.abs(np.asarray(bn["mean"])).max() > 0
+
+
+def test_loss_decreases_overfit():
+    cfg = _cfg()
+    tc = TrainConfig(learning_rate=1e-3, total_steps=30, warmup_steps=1,
+                     batch_size=2, loss="focal_r")
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, tc)
+    step = build_train_step(cfg, tc)
+    batch = _batch(cfg, B=2)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_data_parallel_matches_single_device():
+    """The pjit'ed step over an 8-device mesh must produce the same update
+    as single-device execution (DataParallel-equivalence, SURVEY §2.3)."""
+    cfg = _cfg()
+    tc = TrainConfig(total_steps=10, warmup_steps=1, batch_size=8)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, B=8)
+
+    # the train step donates its input state; give each run its own buffers
+    state1 = init_train_state(jax.tree.map(jnp.array, params), tc)
+    step1 = build_train_step(cfg, tc)
+    state1, m1 = step1(state1, batch)
+
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    state2 = init_train_state(jax.tree.map(jnp.array, params), tc)
+    state2 = jax.device_put(state2, meshlib.replicated(mesh))
+    sharded = meshlib.shard_batch(mesh, batch)
+    step2 = build_train_step(cfg, tc, mesh)
+    with mesh:
+        state2, m2 = step2(state2, sharded)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+        state1.params, state2.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-4

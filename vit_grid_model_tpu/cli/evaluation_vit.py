@@ -107,16 +107,20 @@ def main(argv=None) -> None:
 
         params = convert_checkpoint(ckpt, model_cfg)
         print(f"loaded torch checkpoint: {ckpt}")
-    elif os.path.isdir(ckpt):
+    elif os.path.isdir(ckpt) or ckpt.endswith(".npz"):
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
         from vit_grid_model_tpu.core.checkpoint import restore_params
         from vit_grid_model_tpu.models.metnet3 import metnet3_init
 
         params = restore_params(ckpt, metnet3_init(
             jax.random.PRNGKey(args.seed), model_cfg))
-        print(f"loaded orbax checkpoint: {ckpt}")
+        print(f"loaded checkpoint: {ckpt}")
     else:
         from vit_grid_model_tpu.models.metnet3 import metnet3_init
 
+        if args.checkpoint is not None:
+            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
         print(f"checkpoint {ckpt} not found; using random init "
               "(synthetic smoke mode)")
         params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)

@@ -1,0 +1,161 @@
+"""CLI: train MetNet3 on CMAQ->reanalysis data (or synthetic fixtures).
+
+The reference ships no training entry point (SURVEY.md §3.5); this completes
+the contract: ``Air_Simulation_Reanalysis_Dataset_v3``-style batches ->
+MetNet3 forward -> Focal-R loss -> AdamW, jit-ed over a data-parallel mesh,
+with orbax checkpoints that the evaluation CLI can load back.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="train MetNet3 (TPU)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--data_path", type=str,
+                   default="../preprocessed_data_from_2016")
+    p.add_argument("--sim_data_path", type=str,
+                   default="../../short_term/nier_preprocessed/CMAQ")
+    p.add_argument("--analysis_data_path", type=str, default="../analysis/CMAQ")
+    p.add_argument("--model_name", type=str, default="vit_tpu_model")
+    p.add_argument("--hidden_dim", type=int, default=128)
+    p.add_argument("--output_dim", type=int, default=12)
+    p.add_argument("--input_dim", type=int, default=13)
+    p.add_argument("--prev_len", type=int, default=13)
+    p.add_argument("--feat_dim", type=int, default=12)
+    p.add_argument("--train_start", type=str, default="2022-01-01T00")
+    p.add_argument("--train_end", type=str, default="2022-12-31T23")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--loss", type=str, default="focal_r",
+                   choices=["focal_r", "mse", "mae", "huber"])
+    p.add_argument("--focal_beta", type=float, default=0.2)
+    p.add_argument("--focal_gamma", type=float, default=1.0)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
+    p.add_argument("--checkpoint_dir", type=str, default="check_points")
+    p.add_argument("--checkpoint_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--resume", type=str, default=None)
+    return p
+
+
+def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed):
+    """Adapt v3 dataset samples into train-step batches, looping epochs."""
+    import numpy as np
+
+    from vit_grid_model_tpu.data.pipeline import BatchLoader
+
+    grid = data_cfg.grid
+    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
+                         seed=seed, num_workers=num_workers)
+    while True:
+        for (feats, masks, sim, curr, reanalysis, cls, raw_times,
+             prev) in loader:
+            B = sim.shape[0]
+            x = sim.reshape(B, grid.height, grid.width,
+                            data_cfg.total_steps, -1
+                            ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
+            yield {
+                "x": np.ascontiguousarray(x),
+                "timestamps": raw_times,
+                "targets": reanalysis,
+            }
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+    import jax
+
+    from vit_grid_model_tpu.core.config import (DataConfig, GridConfig,
+                                                MetNet3Config, TrainConfig)
+    from vit_grid_model_tpu.core.checkpoint import save_params
+    from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetV3
+    from vit_grid_model_tpu.data.timeutil import eval_time_list
+    from vit_grid_model_tpu.evaluation import driver as eval_driver
+    from vit_grid_model_tpu.models.metnet3 import metnet3_init
+    from vit_grid_model_tpu.train.trainer import (build_train_step,
+                                                  init_train_state,
+                                                  train_loop)
+
+    train_start = datetime.fromisoformat(args.train_start)
+    train_end = datetime.fromisoformat(args.train_end)
+
+    if args.synthetic:
+        from vit_grid_model_tpu.data import synthetic
+
+        paths = synthetic.generate_tree(
+            args.synthetic_root, train_start, train_end,
+            prev_len=args.prev_len, output_dim=args.output_dim)
+        args.data_path = paths["data_path"]
+        args.sim_data_path = paths["sim_data_path"]
+        args.analysis_data_path = paths["analysis_data_path"]
+
+    data_cfg = DataConfig(
+        input_dim=args.input_dim, output_dim=args.output_dim,
+        prev_len=args.prev_len, feat_dim=args.feat_dim, grid=GridConfig(),
+        data_path=args.data_path, sim_data_path=args.sim_data_path,
+        analysis_data_path=args.analysis_data_path)
+
+    feat_infos = eval_driver.load_feat_infos(args.data_path)
+    stations = eval_driver.load_stations(args.data_path)
+    model_cfg = MetNet3Config(
+        window_size=data_cfg.total_steps, n_variables=24,
+        n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
+        pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
+        compute_dtype=args.compute_dtype)
+    train_cfg = TrainConfig(
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, total_steps=args.steps,
+        batch_size=args.batch_size, loss=args.loss,
+        focal_beta=args.focal_beta, focal_gamma=args.focal_gamma,
+        remat=args.remat, seed=args.seed)
+
+    times = eval_time_list(train_start, train_end, args.prev_len,
+                           args.output_dim)
+    feats, masks = eval_driver.load_ground_obs(
+        args.data_path, times, stations.total, args.feat_dim)
+    dataset = AirSimulationReanalysisDatasetV3(
+        times, feats, masks, input_dim=args.input_dim,
+        output_dim=args.output_dim, prev_len=args.prev_len,
+        korea_stn_num=stations.korea_stn_num,
+        china_stn_num=stations.china_stn_num, cmaq_size=(82, 67),
+        sim_data_path=args.sim_data_path,
+        reanalysis_data_path=args.analysis_data_path, feat_infos=feat_infos)
+    print(f"devices: {jax.devices()}; dataset: {len(dataset)} samples")
+
+    params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
+    state = init_train_state(params, train_cfg)
+    step_fn = build_train_step(model_cfg, train_cfg)
+
+    ckpt_base = os.path.join(args.checkpoint_dir, args.model_name)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    batches = batches_from_dataset(dataset, data_cfg, args.batch_size,
+                                   args.num_workers, args.seed)
+
+    done = 0
+    while done < args.steps:
+        chunk = min(args.checkpoint_every, args.steps - done)
+        state = train_loop(state, batches, step_fn, log_every=args.log_every,
+                           max_steps=chunk)
+        done += chunk
+        path = save_params(f"{ckpt_base}.npz", state.params)
+        print(f"step {done}: checkpoint -> {path}")
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()

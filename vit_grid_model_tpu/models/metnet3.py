@@ -216,6 +216,70 @@ def _condition_time(params, cfg: MetNet3Config, target_time: Array,
     return jnp.concatenate([lead_emb, scrambled], axis=-1)
 
 
+def _fused_lead_stem(params, cfg: MetNet3Config, x: Array, time_feats: Array,
+                     cond: Array, B: int, L: int) -> Array:
+    """Lead-factorized stem: the network input is the SAME (T*C)-channel
+    stack for all L leads of a sample — only the 5 constant conditioning
+    channels and the FiLM cond differ (``metnet3.py:383-416``).  The first
+    resnet block's 3x3 conv is linear, so
+
+        conv(concat(x, t)) == conv_x(x) + conv_t(t)
+
+    where ``conv_x`` over the shared channels runs ONCE per sample (an L-fold
+    FLOP cut on the most expensive conv of the model), and ``conv_t`` over
+    spatially-constant channels reduces to ``einsum(c, K)`` with the
+    border-aware kernel-integral maps ``K[h, w, j, o] = conv(ones)``.
+
+    Exact up to float re-association (validated to ~1e-5 relative by
+    tests/test_fused_stem.py); disabled by default for bit parity.
+    """
+    block1 = params["resnet1"]["blocks"][0]
+    w = block1["block1"]["proj"]["w"]                     # (3, 3, C_in, O)
+    n_time = time_feats.shape[-1]
+    n_shared = w.shape[2] - n_time
+    w_shared, w_time = w[:, :, :n_shared], w[:, :, n_shared:]
+
+    Hp, Wp = x.shape[1], x.shape[2]
+    # shared 3x3 conv once per sample, then expand to (B*L, ...)
+    y_shared = vnn.conv2d({"w": w_shared, "b": block1["block1"]["proj"]["b"]},
+                          x, padding=1)
+    y = jnp.repeat(y_shared, L, axis=0)
+    # border-aware integral of the time-channel kernels: conv of ones
+    ones = jnp.ones((1, Hp, Wp, 1), x.dtype)
+    k_maps = vnn.conv2d(
+        {"w": w_time.transpose(0, 1, 3, 2).reshape(3, 3, 1, -1)},
+        ones, padding=1)                                  # (1, H, W, O*J)
+    k_maps = k_maps.reshape(Hp, Wp, w.shape[3], n_time)
+    y = y + jnp.einsum("bj,hwoj->bhwo", time_feats, k_maps,
+                       preferred_element_type=x.dtype)
+
+    # finish block1 exactly as resnet_block_apply does
+    scale_shift = None
+    if "mlp" in block1:
+        c = vnn.linear(block1["mlp"], jax.nn.relu(cond))
+        scale, shift = jnp.split(c, 2, axis=-1)
+        scale_shift = (scale[:, None, None, :], shift[:, None, None, :])
+    h = vnn.chan_layer_norm(block1["block1"]["norm"], y)
+    if scale_shift is not None:
+        h = h * (scale_shift[0] + 1.0) + scale_shift[1]
+    h = jax.nn.relu(h)
+    h = _block_apply(block1["block2"], h)
+
+    # residual 1x1 conv 605->128: same shared/time split (no borders)
+    res_w = block1["res_conv"]["w"][0, 0]                 # (C_in, O)
+    res_shared = jnp.einsum("bhwc,co->bhwo", x, res_w[:n_shared],
+                            preferred_element_type=x.dtype)
+    res = jnp.repeat(res_shared, L, axis=0)
+    res = res + (time_feats @ res_w[n_shared:])[:, None, None, :]
+    res = res + block1["res_conv"]["b"]
+    out = h + res
+
+    # remaining resnet1 blocks run per-(sample, lead) as usual
+    for bp in params["resnet1"]["blocks"][1:]:
+        out = resnet_block_apply(bp, out, cond)
+    return out
+
+
 def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                   training: bool = False, rng: Optional[Array] = None,
                   return_features: bool = False,
@@ -242,30 +306,38 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
 
     x = standardize_pm_channels(x, cfg)
 
-    # per-lead batch expansion, sample-major (B*L)
-    x = jnp.repeat(x, L, axis=0)                                   # (BL,T,C,H,W)
     lead_times = jnp.tile(jnp.arange(1, L + 1), B)                 # (BL,)
     cond = vnn.embedding(params["condition_lead_time"], lead_times)
 
-    # NHWC with fused (T*C) channel axis
-    x = x.reshape(B * L, T * C, H, Wd).transpose(0, 2, 3, 1)
+    # NHWC with fused (T*C) channel axis, padded (no lead repeat yet)
+    x = x.reshape(B, T * C, H, Wd).transpose(0, 2, 3, 1)
     x, pv = pad_hw(x, cfg.pad_multiple)
     Hp, Wp = x.shape[1], x.shape[2]
 
+    time_feats = None
     if cfg.concat_time_to_input:
         ts6 = jnp.repeat(timestamps[:, 6, :], L, axis=0)           # (BL, 4)
         # append the lead column the reference concatenates (``metnet3.py:409``)
         ts6 = jnp.concatenate(
             [ts6, lead_times[:, None].astype(ts6.dtype)], axis=-1)  # (BL, 5)
         time_feats = _condition_time(params, cfg, ts6, B * L)       # (BL, 5)
-        time_maps = jnp.broadcast_to(
-            time_feats[:, None, None, :], (B * L, Hp, Wp, time_feats.shape[-1]))
-        x = jnp.concatenate([x, time_maps.astype(x.dtype)], axis=-1)
 
     x = x.astype(dtype)
     cond = cond.astype(dtype)
 
-    out = resnet_blocks_apply(params["resnet1"], x, cond)
+    if cfg.fuse_lead_stem and cfg.concat_time_to_input:
+        out = _fused_lead_stem(params, cfg, x, time_feats.astype(dtype),
+                               cond, B, L)
+    else:
+        # per-lead batch expansion, sample-major (B*L), the reference's
+        # repeat_interleave (``metnet3.py:383``)
+        x = jnp.repeat(x, L, axis=0)
+        if time_feats is not None:
+            time_maps = jnp.broadcast_to(
+                time_feats[:, None, None, :],
+                (B * L, Hp, Wp, time_feats.shape[-1]))
+            x = jnp.concatenate([x, time_maps.astype(x.dtype)], axis=-1)
+        out = resnet_blocks_apply(params["resnet1"], x, cond)
     out = vnn.max_pool_2x(out)
     out = maxvit_apply(params["vit"], out, cond, _vit_spec(cfg),
                        training=training, rng=rng, collect_bn=collect_bn)
