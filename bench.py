@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--fuse-lead-stem", action="store_true", default=True)
     ap.add_argument("--no-fuse-lead-stem", dest="fuse_lead_stem",
                     action="store_false")
+    ap.add_argument("--pallas", action="store_true", default=True,
+                    help="fused Pallas window attention (default on)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     ap.add_argument("--measure-torch", action="store_true")
     args = ap.parse_args()
 
@@ -81,7 +84,8 @@ def main():
     cfg = MetNet3Config(
         window_size=25, n_variables=24, n_start_channels=128,
         end_lead_time=12, pm25_mean=22.5, pm25_std=15.5,
-        compute_dtype=args.dtype, fuse_lead_stem=args.fuse_lead_stem)
+        compute_dtype=args.dtype, fuse_lead_stem=args.fuse_lead_stem,
+        use_pallas_attention=args.pallas)
     params = metnet3_init(jax.random.PRNGKey(0), cfg)
     B = args.batch
     x = jax.random.uniform(jax.random.PRNGKey(1),

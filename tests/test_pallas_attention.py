@@ -1,0 +1,43 @@
+"""The fused Pallas window-attention kernel must match the XLA reference
+implementation (interpret mode on CPU; compiled on TPU via the bench)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import conftest as C  # noqa: F401
+from vit_grid_model_tpu.ops.attention import attention, attention_init
+from vit_grid_model_tpu.ops.window import relative_position_indices
+
+
+def _run_pallas_interpret(p, x, cond, bias_idx, heads, wps):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
+
+    with pltpu.force_tpu_interpret_mode():
+        return window_attention_pallas(p, x, cond, bias_idx, heads=heads,
+                                       windows_per_sample=wps)
+
+
+@pytest.mark.parametrize("n,heads,dim_head,dim", [
+    (53, 4, 8, 32),          # eval token geometry, small heads
+    (53, 32, 32, 128),       # shipped 12hr geometry
+])
+def test_pallas_matches_xla(n, heads, dim_head, dim):
+    key = jax.random.PRNGKey(0)
+    p = attention_init(key, dim, cond_dim=2, heads=heads, dim_head=dim_head,
+                       window_size=7, num_registers=4)
+    bw, wps = 12, 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (bw, n, dim))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (bw // wps, 2))
+    bias_idx = relative_position_indices(7, 4)
+
+    ref = attention(p, x, cond, bias_idx, heads=heads,
+                    windows_per_sample=wps)
+    ours = _run_pallas_interpret(p, x, cond, bias_idx, heads, wps)
+    rel = np.abs(np.asarray(ours) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 2e-5, rel

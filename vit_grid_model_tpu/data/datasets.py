@@ -200,11 +200,37 @@ class _LazyCmaqDataset(_WindowedDataset):
         self.reanalysis_data_path = reanalysis_data_path
         self.feat_infos = feat_infos
 
+    #: class-level switch: None = auto (use the C++ plane when available)
+    use_native: Optional[bool] = None
+
     @property
     def n_species(self) -> int:
         return self.feats.shape[-1] // 2
 
     def _simulation_and_prev(self, idx):
+        use_native = self.use_native
+        if use_native is None or use_native:
+            from vit_grid_model_tpu.data import native
+
+            if native.available():
+                # one GIL-free native pass over the sample's contiguous
+                # [history | input | output] step run
+                steps = self.times[idx: idx + self.prev_len
+                                   + self.output_dim]
+                out = native.assemble_steps_native(
+                    steps, self.sim_data_path, self.feat_infos,
+                    self.n_species, self.cmaq_size)
+                if out is not None:
+                    stack, pm25 = out
+                    bc = 4 * self.n_species + 4
+                    hist = self.prev_len - self.input_dim
+                    sim = stack[:, :, hist * bc:]
+                    prev_pm25 = pm25[:self.prev_len].mean(axis=1)
+                    return (np.ascontiguousarray(sim),
+                            np.ascontiguousarray(prev_pm25))
+            elif use_native:
+                raise RuntimeError("native data plane requested but "
+                                   "libcmaq_loader.so unavailable")
         return assembly.assemble_simulation(
             self.times, self._mod_idx(idx), idx,
             input_dim=self.input_dim, output_dim=self.output_dim,

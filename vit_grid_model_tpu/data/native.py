@@ -1,0 +1,123 @@
+"""ctypes bindings for the native (C++) CMAQ data-plane.
+
+``native/cmaq_loader.cc`` fuses the per-sample .npy reads, per-species
+standardization and channel interleave into one GIL-free threaded pass —
+the runtime counterpart of the reference's 5 DataLoader worker processes
+(``evaluation_vit.py:138``) without process-spawn or pickling overhead.
+
+The library auto-builds on first use (g++); everything degrades gracefully
+to the pure-numpy ``data.assembly`` path when unavailable, so the native
+plane is a pure acceleration layer with identical outputs (byte-parity
+tested in tests/test_native_loader.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from datetime import datetime
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vit_grid_model_tpu.data.assembly import SPECIES, PM25_SPECIES_INDEX
+from vit_grid_model_tpu.data.timeutil import (cmaq_file_name, cycle_refs,
+                                              kst_to_utc)
+
+_LIB_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_LIB_DIR, "libcmaq_loader.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(["sh", os.path.join(_LIB_DIR, "build.sh")],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.vg_abi_version.restype = ctypes.c_int
+            assert lib.vg_abi_version() == 1
+            lib.vg_assemble_sample.restype = ctypes.c_int64
+            lib.vg_load_cycle_files.restype = ctypes.c_int64
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load_library() is not None
+
+
+def _c_paths(paths: Sequence[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def assemble_steps_native(times_kst: Sequence[datetime], sim_data_path: str,
+                          feat_infos: Dict[str, Tuple[float, float]],
+                          n_species: int, grid_shape: Tuple[int, int],
+                          n_threads: int = 4
+                          ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Assemble the stacked blocks for a list of KST timesteps in one native
+    call.  Returns (stack (H, W, T*(4S+4)), pm25 (T, 4, H, W)) or None when
+    the native library is unavailable."""
+    lib = _load_library()
+    if lib is None:
+        return None
+    h, w = grid_shape
+    t_steps = len(times_kst)
+    paths, leads = [], np.zeros((t_steps, 4), np.float32)
+    for ti, t in enumerate(times_kst):
+        for ci, ref in enumerate(cycle_refs(kst_to_utc(t))):
+            paths.append(cmaq_file_name(sim_data_path, ref))
+            leads[ti, ci] = ref.lead
+    means = np.asarray([feat_infos[s][0] for s in SPECIES[:n_species]],
+                       np.float32)
+    stds = np.asarray([feat_infos[s][1] for s in SPECIES[:n_species]],
+                      np.float32)
+    out = np.zeros((h, w, t_steps * (4 * n_species + 4)), np.float32)
+    pm25 = np.zeros((t_steps, 4, h, w), np.float32)
+    lib.vg_assemble_sample(
+        _c_paths(paths), ctypes.c_int64(t_steps), ctypes.c_int64(n_species),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(PM25_SPECIES_INDEX),
+        leads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pm25.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(n_threads))
+    return out, pm25
+
+
+def load_cycle_files_native(paths: Sequence[str], n_species: int,
+                            grid_shape: Tuple[int, int],
+                            n_threads: int = 4) -> Optional[np.ndarray]:
+    """Bulk-load raw cycle files -> (N, S, H, W), zero-filled faults."""
+    lib = _load_library()
+    if lib is None:
+        return None
+    h, w = grid_shape
+    out = np.zeros((len(paths), n_species, h, w), np.float32)
+    lib.vg_load_cycle_files(
+        _c_paths(paths), ctypes.c_int64(len(paths)),
+        ctypes.c_int64(n_species), ctypes.c_int64(h), ctypes.c_int64(w),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(n_threads))
+    return out

@@ -1,0 +1,173 @@
+"""Fused Pallas TPU kernel for MaxViT window attention.
+
+One kernel fuses the whole attention block for a tile of windows:
+LayerNorm -> FiLM -> qkv projection -> QK-RMSNorm -> scores + relative
+position bias -> softmax -> value aggregation -> output projection.
+
+Why fuse: the XLA path materializes the (windows, tokens, 3*heads*dim_head)
+qkv tensor in HBM (~1GB per attention call at eval batch sizes); keeping it
+in VMEM removes that round-trip, which on a v5e (~800GB/s HBM) costs more
+than the attention math itself.  The projections stay large MXU GEMMs
+((tile*tokens, dim) x (dim, 3*dim_inner)); the per-head score/aggregate
+matmuls run as head-batched dots over the window tile.
+
+Geometry (eval config): 53 tokens (49 window + 4 registers) padded to 56
+sublanes, dim 128, 32 heads x 32 dim_head.  Padded token rows are masked out
+of the softmax with a -inf bias column block.
+
+Semantics match ``ops.attention.attention`` exactly (same quirks: no extra
+q scale, RMSNorm-only scaling); equivalence is tested in
+tests/test_pallas_attention.py.  Select with
+``MetNet3Config.use_pallas_attention`` or call directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_grid_model_tpu.ops import nn as vnn
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
+                      wout_ref, bias_ref, o_ref, *, heads: int,
+                      dim_head: int, n_pad: int, blk: int,
+                      has_film: bool, ln_eps: float = 1e-5,
+                      rms_eps: float = 1e-12):
+    """One program: BLK windows of (n_pad, dim) tokens."""
+    in_dtype = x_ref.dtype
+    x = x_ref[...].astype(jnp.float32)            # (blk, n_pad, dim)
+    dim = x.shape[-1]
+
+    # LayerNorm (no affine under conditioning) + FiLM — in f32: the VPU has
+    # no bf16 rsqrt on this target
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + ln_eps)
+    if has_film:
+        xn = (xn * gamma_ref[...].astype(jnp.float32)[:, None, :]
+              + beta_ref[...].astype(jnp.float32)[:, None, :])
+
+    # qkv projection: one big GEMM (blk*n_pad, dim) @ (dim, 3*h*d), at the
+    # input precision (bf16 keeps the MXU at full rate; f32 accumulate)
+    qkv = jnp.dot(xn.astype(in_dtype).reshape(blk * n_pad, dim),
+                  wqkv_ref[...],
+                  preferred_element_type=jnp.float32)
+
+    dim_inner = heads * dim_head
+    scale = dim_head ** 0.5
+    head_outs = []
+    for h in range(heads):
+        # static lane slices per head; 3-D reshape splits sublanes only
+        q = qkv[:, h * dim_head:(h + 1) * dim_head
+                ].reshape(blk, n_pad, dim_head)
+        k = qkv[:, dim_inner + h * dim_head:
+                dim_inner + (h + 1) * dim_head].reshape(blk, n_pad, dim_head)
+        v = qkv[:, 2 * dim_inner + h * dim_head:
+                2 * dim_inner + (h + 1) * dim_head
+                ].reshape(blk, n_pad, dim_head)
+        # QK-RMSNorm: l2-normalize * sqrt(d) * gamma_h
+        qn = q * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(q * q, -1, keepdims=True), rms_eps ** 2))
+        kn = k * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(k * k, -1, keepdims=True), rms_eps ** 2))
+        qn = qn * (scale * qg_ref[h])             # fold per-head gamma
+        kn = kn * (scale * kg_ref[h])
+        sim = jax.lax.dot_general(
+            qn, kn, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)   # (blk, n_pad, n_pad)
+        sim = sim + bias_ref[h][None]
+        m = jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim - m)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_h = jax.lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)   # (blk, n_pad, d)
+        head_outs.append(o_h)
+
+    out = jnp.concatenate(head_outs, axis=-1)     # (blk, n_pad, h*d)
+    y = jnp.dot(out.astype(in_dtype).reshape(blk * n_pad, heads * dim_head),
+                wout_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = y.reshape(blk, n_pad, dim).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "windows_per_sample",
+                                             "block_windows"))
+def window_attention_pallas(p, x: Array, cond: Optional[Array],
+                            bias_indices: Array, *, heads: int,
+                            windows_per_sample: int,
+                            block_windows: int = 8) -> Array:
+    """Drop-in replacement for ``ops.attention.attention`` (inference).
+
+    x: (Bw, n, dim) sample-major windows; cond (B_cond, cond_dim) or None.
+    """
+    bw, n, dim = x.shape
+    dim_head = p["q_norm"]["gamma"].shape[-1]
+    # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
+    n_pad = _round_up(n, 16)
+
+    # host-side (jit-traced, fused by XLA) precomputation of small pieces
+    if "film" in p and cond is not None:
+        gamma, beta = vnn.film(p["film"], cond)
+        gamma = jnp.repeat(gamma, windows_per_sample, axis=0)
+        beta = jnp.repeat(beta, windows_per_sample, axis=0)
+        has_film = True
+    else:
+        gamma = jnp.ones((bw, dim), x.dtype)
+        beta = jnp.zeros((bw, dim), x.dtype)
+        has_film = False
+
+    bias = vnn.embedding(p["rel_pos_bias"], bias_indices)   # (n, n, h)
+    bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (h, n, n)
+    # pad: -inf on padded KEY columns so they never receive weight;
+    # padded query rows produce garbage and are sliced off below
+    bias = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
+                   constant_values=-1e30)
+
+    blk = block_windows
+    while bw % blk != 0:
+        blk //= 2
+    x_pad = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    grid = (bw // blk,)
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel, heads=heads, dim_head=dim_head,
+            n_pad=n_pad, blk=blk, has_film=has_film),
+        out_shape=jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, n_pad, dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wqkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q gamma
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k gamma
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wout
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+        ],
+        out_specs=pl.BlockSpec((blk, n_pad, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(
+        x_pad, gamma.astype(x.dtype), beta.astype(x.dtype),
+        p["to_qkv"]["w"].astype(x.dtype),
+        p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
+        p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32),
+        p["to_out"]["w"].astype(x.dtype),
+        bias,
+    )
+    return out[:, :n, :]
