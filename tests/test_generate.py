@@ -1,0 +1,68 @@
+"""Pod-scale generation driver over the 8-device virtual CPU mesh: sharded
+batches must produce the same fields as unsharded single-device inference."""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests import conftest as C  # noqa: F401
+from vit_grid_model_tpu.core.config import (DataConfig, GridConfig,
+                                            MeshConfig, MetNet3Config)
+from vit_grid_model_tpu.data import readers, synthetic
+from vit_grid_model_tpu.evaluation.generate import generate_reanalysis
+from vit_grid_model_tpu.models.metnet3 import metnet3_init
+from vit_grid_model_tpu.parallel import mesh as meshlib
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gen")
+    paths = synthetic.generate_tree(
+        str(root), datetime(2023, 3, 1, 0), datetime(2023, 3, 1, 12),
+        prev_len=3, output_dim=2, korea_stn_num=5, china_stn_num=2)
+    readers.clear_caches()
+    return paths
+
+
+def _cfgs(tree):
+    data_cfg = DataConfig(input_dim=2, output_dim=2, prev_len=3,
+                          feat_dim=12, grid=GridConfig(),
+                          data_path=tree["data_path"],
+                          sim_data_path=tree["sim_data_path"],
+                          analysis_data_path=tree["analysis_data_path"])
+    model_cfg = MetNet3Config(window_size=4, n_variables=24,
+                              n_start_channels=16, end_lead_time=2,
+                              pm25_mean=22.5, pm25_std=15.5, n_heads=4,
+                              dim_head=4)
+    return data_cfg, model_cfg
+
+
+def test_generate_sharded_matches_single(tree, tmp_path):
+    data_cfg, model_cfg = _cfgs(tree)
+    params = metnet3_init(jax.random.PRNGKey(0), model_cfg)
+    start, end = datetime(2023, 3, 1, 0), datetime(2023, 3, 1, 12)
+
+    out1 = tmp_path / "single"
+    n1 = generate_reanalysis(params, model_cfg, data_cfg, start=start,
+                             end=end, out_dir=str(out1), batch_size=8,
+                             mesh=None, progress=False)
+    assert n1 > 0
+
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    out2 = tmp_path / "sharded"
+    n2 = generate_reanalysis(params, model_cfg, data_cfg, start=start,
+                             end=end, out_dir=str(out2), batch_size=8,
+                             mesh=mesh, progress=False)
+    assert n2 == n1
+
+    files = sorted(os.listdir(out1))
+    assert files == sorted(os.listdir(out2))
+    for f in files:
+        a = np.load(out1 / f)
+        b = np.load(out2 / f)
+        assert a.shape == (82, 67)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
