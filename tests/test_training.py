@@ -117,3 +117,32 @@ def test_data_parallel_matches_single_device():
         lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
         state1.params, state2.params)
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_class_head_outputs():
+    """The documented class-head contract (``metnet3.py:432-490``): logits,
+    NaN-masked CE, midpoint-decoded values, regional heads."""
+    from vit_grid_model_tpu.models.metnet3 import (metnet3_class_outputs,
+                                                   metnet3_init)
+
+    cfg = MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
+                        end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                        n_heads=4, dim_head=4, pm25_class_head=True,
+                        pm10=True, direct_regional=True)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    b = _batch(cfg, B=1)
+    BL = 1 * cfg.end_lead_time
+    labels = np.random.default_rng(0).random((BL, 82, 67)).astype(np.float32) * 90
+    labels[0, 0, 0] = np.nan
+    regions = np.random.default_rng(1).random((BL, 19)).astype(np.float32) * 40
+    out = metnet3_class_outputs(
+        params, jnp.asarray(b["x"]), jnp.asarray(b["timestamps"]), cfg,
+        labels_pm25=jnp.asarray(labels), region_targets_pm25=jnp.asarray(regions),
+        labels_pm10=jnp.asarray(labels), region_targets_pm10=jnp.asarray(regions))
+    assert out["logits_pm25"].shape == (BL, 82, 67, 4)
+    assert out["logits_pm10"].shape == (BL, 82, 67, 4)
+    assert out["region_preds_pm25"].shape == (BL, 19)
+    assert np.isfinite(float(out["loss"]))
+    # midpoint decoding lands on the documented class values
+    vals = np.unique(np.asarray(out["predicted_pm25"]))
+    assert set(vals) <= {7.5, 25.0, 55.0, 75.0}

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="matmul precision (highest = f32 parity)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fast", action="store_true",
+                   help="throughput mode: bf16 + fused stem + Pallas "
+                        "attention (not for checkpoint-parity scoring)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="logs")
@@ -95,11 +98,15 @@ def main(argv=None) -> None:
         analysis_data_path=args.analysis_data_path)
 
     feat_infos = driver.load_feat_infos(args.data_path)
+    if args.fast:
+        args.compute_dtype = "bfloat16"
+        args.precision = "default"
     model_cfg = MetNet3Config(
         window_size=args.input_dim + args.output_dim, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
+        use_pallas_attention=args.fast)
 
     ckpt = args.checkpoint or f"check_points/{args.model_name}.pkt"
     if os.path.exists(ckpt) and ckpt.endswith(".pkt"):

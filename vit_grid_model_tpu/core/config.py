@@ -56,6 +56,9 @@ class MetNet3Config:
     resnet_block_depth: int = 2
     direct_regional: bool = False
     ignore_backbone: bool = False
+    # class-logits PM2.5 head (the documented training contract,
+    # ``metnet3.py:432-490``) instead of the live 1-channel regression head
+    pm25_class_head: bool = False
 
     # MaxViT backbone
     vit_block_depth: Tuple[int, ...] = (1,)

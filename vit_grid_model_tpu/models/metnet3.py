@@ -170,12 +170,33 @@ def metnet3_init(key, cfg: MetNet3Config, dtype=jnp.float32):
     }
     key2 = jax.random.fold_in(key, 99)
     if cfg.pm25:
+        # live reference head: 1-channel regression (``metnet3.py:306``);
+        # with pm25_class_head, the earlier documented class head instead
+        # (len(boundaries)+1 logits, ``metnet3.py:438-441``)
+        n_out = (len(cfg.pm25_boundaries) + 1 if cfg.pm25_class_head else 1)
         params["classifier_pm25"] = vnn.conv_init(
-            key2, 1, 1, cfg.n_start_channels, 1, dtype=dtype)
+            key2, 1, 1, cfg.n_start_channels, n_out, dtype=dtype)
+        if cfg.direct_regional:
+            # Conv1x1 -> flatten -> Linear(H*W, 19) (``metnet3.py:308-312``)
+            ka, kb = jax.random.split(jax.random.fold_in(key2, 7))
+            params["regr_regional_pm25"] = {
+                "conv": vnn.conv_init(ka, 1, 1, cfg.n_start_channels, 1,
+                                      dtype=dtype),
+                "fc": vnn.linear_init(
+                    kb, cfg.input_height * cfg.input_width, 19, dtype=dtype),
+            }
     if cfg.pm10:
         params["classifier_pm10"] = vnn.conv_init(
             jax.random.fold_in(key2, 1), 1, 1, cfg.n_start_channels,
             len(cfg.pm10_boundaries) + 1, dtype=dtype)
+        if cfg.direct_regional:
+            ka, kb = jax.random.split(jax.random.fold_in(key2, 8))
+            params["regr_regional_pm10"] = {
+                "conv": vnn.conv_init(ka, 1, 1, cfg.n_start_channels, 1,
+                                      dtype=dtype),
+                "fc": vnn.linear_init(
+                    kb, cfg.input_height * cfg.input_width, 19, dtype=dtype),
+            }
     return params
 
 
@@ -352,3 +373,64 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     if cfg.normalization_method == "Standard":
         preds = preds * cfg.pm25_std + cfg.pm25_mean
     return preds
+
+
+def metnet3_class_outputs(params, x: Array, timestamps: Array,
+                          cfg: MetNet3Config, *,
+                          labels_pm25: Optional[Array] = None,
+                          region_targets_pm25: Optional[Array] = None,
+                          labels_pm10: Optional[Array] = None,
+                          region_targets_pm10: Optional[Array] = None,
+                          training: bool = False,
+                          rng: Optional[Array] = None) -> dict:
+    """The reference's documented class-head training contract
+    (``metnet3.py:432-490``, commented out there): per-cell class logits,
+    bucketized cross-entropy with NaN targets masked, midpoint-decoded
+    continuous predictions, and optional regional regression heads
+    (detached from the backbone when ``ignore_backbone``).
+
+    Use ``MetNet3Config(pm25_class_head=True)`` (and/or ``pm10=True``) so
+    the heads emit class logits.  Returns a dict of losses/outputs shaped
+    like the reference's OrderedDict.
+    """
+    from vit_grid_model_tpu.models.classification import categorical_to_continuous
+    from vit_grid_model_tpu.train import losses as L
+
+    feats = metnet3_apply(params, x, timestamps, cfg, training=training,
+                          rng=rng, return_features=True)   # (BL, H, W, ch)
+    ret = {}
+
+    def head(suffix, boundaries, labels, region_targets):
+        logits = vnn.conv2d(params[f"classifier_{suffix}"], feats,
+                            padding="VALID")
+        ret[f"logits_{suffix}"] = logits
+        loss = 0.0
+        if labels is not None:
+            loss = L.pm_class_cross_entropy(logits, labels, boundaries)
+            ret[f"loss_{suffix}"] = loss
+        classes = jnp.argmax(logits, axis=-1)
+        ret[f"predicted_{suffix}"] = categorical_to_continuous(
+            classes, boundaries)
+        regr_loss = 0.0
+        reg_name = f"regr_regional_{suffix}"
+        if cfg.direct_regional and reg_name in params:
+            src = jax.lax.stop_gradient(feats) if cfg.ignore_backbone \
+                else feats
+            r = vnn.conv2d(params[reg_name]["conv"], src, padding="VALID")
+            r = vnn.linear(params[reg_name]["fc"],
+                           r.reshape(r.shape[0], -1))
+            ret[f"region_preds_{suffix}"] = r
+            if region_targets is not None:
+                regr_loss = L.regional_mse_loss(r, region_targets)
+                ret[f"regr_loss_{suffix}"] = regr_loss
+        return loss + regr_loss
+
+    total = 0.0
+    if cfg.pm25 and cfg.pm25_class_head:
+        total = total + head("pm25", cfg.pm25_boundaries, labels_pm25,
+                             region_targets_pm25)
+    if cfg.pm10 and "classifier_pm10" in params:
+        total = total + head("pm10", cfg.pm10_boundaries, labels_pm10,
+                             region_targets_pm10)
+    ret["loss"] = total
+    return ret
