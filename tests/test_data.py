@@ -220,3 +220,71 @@ def test_loader_shuffle_and_order(tree):
                            num_workers=2)
     n2 = sum(b[0].shape[0] for b in shuffled)
     assert n2 == len(ds)
+
+
+def test_remaining_dataset_variants(tree):
+    """Shapes/contracts of the in-memory and image/station dataset variants."""
+    from vit_grid_model_tpu.data.datasets import (
+        AirSimulationReanalysisDataset, AirSimulationReanalysisDatasetByStn,
+        AirSimulationReanalysisDatasetV2,
+        AirSimulationReanalysisDatasetWithCurr,
+        AirSimulationReanalysisDatasetWithStationImgs,
+        AirWithFixedSatDataset, AirWithSimulationDataset,
+        AirWithSimulationDatasetV2)
+
+    times = _times()
+    feats, masks = _feats(times)
+    T, stn = len(times), 11
+    rng = np.random.default_rng(1)
+
+    # in-memory variants
+    sim = rng.random((T, stn, 30), dtype=np.float32)
+    re = rng.random((T, 82, 67), dtype=np.float32) * 60
+    ds = AirSimulationReanalysisDataset(times, feats, masks, sim, re,
+                                        3, 2, 4, 8, 3)
+    f, m, s, r, c, rt, pv = ds[0]
+    assert s.shape == (stn, 30) and r.shape == (2, 82, 67)
+    ds = AirSimulationReanalysisDatasetWithCurr(times, feats, masks, sim, re,
+                                                3, 2, 4, 8, 3)
+    out = ds[0]
+    assert out[3].shape == (82, 67)        # curr_reanalysis
+    ds = AirWithFixedSatDataset(times, rng.random((T, stn, 2)),
+                                rng.random((T, stn, 13)), feats, masks,
+                                3, 2, 4, 8, 3)
+    assert ds[0][2].shape == (stn, 2)
+    ds = AirWithSimulationDataset(times, feats, masks, sim, 3, 2, 4, 8, 3)
+    assert ds[0][2].shape == (stn, 30)
+    ds = AirWithSimulationDatasetV2(times, feats, masks, sim,
+                                    rng.random((T, stn)), 3, 2, 4, 8, 3)
+    assert ds[0][3].shape == (stn,)
+
+    # lazy v2 (output-window-only)
+    kwargs = dict(input_dim=3, output_dim=2, prev_len=4, korea_stn_num=8,
+                  china_stn_num=3, cmaq_size=(82, 67),
+                  sim_data_path=tree["sim_data_path"],
+                  reanalysis_data_path=tree["analysis_data_path"],
+                  feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    ds = AirSimulationReanalysisDatasetV2(times, feats, masks, **kwargs)
+    assert ds[0][2].shape == (82, 67, 2 * 28)
+
+    # by-station scoring variant: mask NOT inverted (``dataset.py:1889``)
+    ds = AirSimulationReanalysisDatasetByStn(times, feats, masks, **kwargs)
+    out = ds[0]
+    vals, mask, cls = out[8], out[9], out[10]
+    assert vals.shape == (2, 8) and mask.dtype == bool
+    np.testing.assert_array_equal(
+        mask, feats[3 + 1:3 + 3, :8, 6].astype(bool))
+
+    # station-image variant (image fixtures)
+    synthetic.write_station_images(tree["data_path"], times, output_dim=2)
+    ds = AirSimulationReanalysisDatasetWithStationImgs(
+        times, feats, masks, input_dim=3, output_dim=2, prev_len=4,
+        korea_stn_num=8, china_stn_num=3, cmaq_size=(82, 67),
+        sim_data_path=tree["sim_data_path"],
+        reanalysis_data_path=tree["analysis_data_path"],
+        data_path=tree["data_path"],
+        feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    out = ds[0]
+    stn_inputs, multiair_out = out[6], out[7]
+    assert stn_inputs.shape == (3, 2, 82, 67)
+    assert multiair_out.shape == (2, 2, 82, 67)

@@ -216,3 +216,26 @@ def generate_tree(root: str, start_kst: datetime, end_kst: datetime, *,
     write_cmaq_range(sim_path, start_utc, end_utc)
     return {"data_path": data_path, "sim_data_path": sim_path,
             "analysis_data_path": re_path}
+
+
+def write_station_images(data_path: str, times_kst: Sequence[datetime],
+                         output_dim: int = 12,
+                         grid: Tuple[int, int] = GRID) -> None:
+    """Kriged ground-obs and MultiAir prediction image trees used by
+    ``Air_Simulation_Reanalysis_Dataset_with_station_imgs``
+    (``dataset.py:1591-1595,1701-1706``)."""
+    for t in times_kst:
+        y, m = t.strftime("%Y"), str(int(t.strftime("%m")))
+        dh = t.strftime("%d%H")
+        for sub, shape, suffix in (
+                ("ground_obs_imgs", grid, "_img"),
+                ("ground_obs_krig_imgs", (2,) + grid, "_krige_img"),
+                ("multiair_img", (output_dim,) + grid, "_multiair_img"),
+                ("multiair_krig_img", (output_dim, 2) + grid,
+                 "_multiair_krige_img")):
+            d = f"{data_path}/{sub}/{y}/{m}"
+            os.makedirs(d, exist_ok=True)
+            path = f"{d}/{dh}{suffix}.npy"
+            if not os.path.exists(path):
+                rng = _rng(sub, t.strftime("%Y%m%d%H"))
+                np.save(path, (rng.random(shape) * 40).astype(np.float32))
