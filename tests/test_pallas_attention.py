@@ -18,8 +18,7 @@ def _run_pallas_interpret(p, x, cond, bias_idx, heads, wps):
     from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
 
     with pltpu.force_tpu_interpret_mode():
-        return window_attention_pallas(p, x, cond, bias_idx, heads=heads,
-                                       windows_per_sample=wps)
+        return window_attention_pallas(p, x, cond, bias_idx, heads, wps)
 
 
 @pytest.mark.parametrize("n,heads,dim_head,dim", [
@@ -41,3 +40,33 @@ def test_pallas_matches_xla(n, heads, dim_head, dim):
     rel = np.abs(np.asarray(ours) - np.asarray(ref)).max() / (
         np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < 2e-5, rel
+
+
+def test_pallas_gradients_match_xla():
+    """custom_vjp: grads of the Pallas path equal grads of the XLA path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
+
+    key = jax.random.PRNGKey(0)
+    p = attention_init(key, 32, cond_dim=2, heads=4, dim_head=8,
+                       window_size=7, num_registers=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2))
+    bias_idx = relative_position_indices(7, 4)
+
+    def loss_xla(pp, xx):
+        return jnp.sum(attention(pp, xx, cond, bias_idx, heads=4,
+                                 windows_per_sample=3) ** 2)
+
+    def loss_pl(pp, xx):
+        return jnp.sum(window_attention_pallas(pp, xx, cond, bias_idx,
+                                               4, 3) ** 2)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)

@@ -49,6 +49,20 @@ class StationInfo:
     def total(self) -> int:
         return self.korea_stn_num + self.china_stn_num
 
+    @property
+    def region_names(self) -> List[str]:
+        """Distinct region labels (``evaluation_vit.py:72``).  NOTE: the
+        reference uses ``list(set(...))`` whose order is process-dependent;
+        here sorted for determinism (only index identity matters)."""
+        return sorted(set(self.korea_regions))
+
+    @property
+    def stn_to_region_idx(self) -> np.ndarray:
+        """Per-station region index (``evaluation_vit.py:77-80``)."""
+        names = self.region_names
+        return np.asarray([names.index(r) for r in self.korea_regions],
+                          dtype=np.int32)
+
 
 def load_stations(data_path: str, grid_shape=(82, 67)) -> StationInfo:
     lats, lons, korea_regions = [], [], []

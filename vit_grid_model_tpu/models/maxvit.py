@@ -93,11 +93,16 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
                     nwin: int, *, training: bool, key: Optional[Array]):
     """Run one attention over packed (registers ++ window tokens)."""
     tokens = jnp.concatenate([registers, xw], axis=1)   # (bw, nr + n, d)
-    if spec.use_pallas:
+    # the fused kernel has no attention dropout: use it for inference (and
+    # for training only when dropout is disabled); grads flow through its
+    # custom VJP (XLA-recompute backward)
+    use_pallas = spec.use_pallas and (not training or spec.dropout == 0.0)
+    if use_pallas:
         from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
+
+        # positional call: custom_vjp functions reject keyword arguments
         out = window_attention_pallas(
-            layer_p[which], tokens, cond, bias_idx, heads=spec.heads,
-            windows_per_sample=nwin)
+            layer_p[which], tokens, cond, bias_idx, spec.heads, nwin)
     else:
         out = attention(
             layer_p[which], tokens, cond, bias_idx, heads=spec.heads,

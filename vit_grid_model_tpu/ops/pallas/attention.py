@@ -102,16 +102,27 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
     o_ref[...] = y.reshape(blk, n_pad, dim).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "windows_per_sample",
-                                             "block_windows"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def window_attention_pallas(p, x: Array, cond: Optional[Array],
-                            bias_indices: Array, *, heads: int,
-                            windows_per_sample: int,
+                            bias_indices: Array, heads: int = 32,
+                            windows_per_sample: int = 1,
                             block_windows: int = 8) -> Array:
-    """Drop-in replacement for ``ops.attention.attention`` (inference).
+    """Drop-in replacement for ``ops.attention.attention``.
 
     x: (Bw, n, dim) sample-major windows; cond (B_cond, cond_dim) or None.
+
+    Differentiable: the backward pass is the VJP of the (numerically
+    equivalent) XLA implementation, recomputed from the saved inputs — the
+    standard remat-style trade (the forward's HBM savings are what the
+    kernel is for; the backward recompute uses fusion-friendly XLA ops).
     """
+    return _window_attention_fwd_impl(p, x, cond, bias_indices, heads,
+                                      windows_per_sample, block_windows)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _window_attention_fwd_impl(p, x, cond, bias_indices, heads,
+                               windows_per_sample, block_windows):
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
@@ -171,3 +182,32 @@ def window_attention_pallas(p, x: Array, cond: Optional[Array],
         bias,
     )
     return out[:, :n, :]
+
+
+def _xla_equivalent(p, x, cond, bias_indices, heads, windows_per_sample):
+    from vit_grid_model_tpu.ops.attention import attention
+
+    return attention(p, x, cond, bias_indices, heads=heads,
+                     windows_per_sample=windows_per_sample)
+
+
+def _wap_fwd(p, x, cond, bias_indices, heads, windows_per_sample,
+             block_windows):
+    # custom_vjp fwd keeps the primal signature (nondiff args in place)
+    out = _window_attention_fwd_impl(p, x, cond, bias_indices, heads,
+                                     windows_per_sample, block_windows)
+    return out, (p, x, cond, bias_indices)
+
+
+def _wap_bwd(heads, windows_per_sample, block_windows, residuals, g):
+    p, x, cond, bias_indices = residuals
+    _, vjp = jax.vjp(
+        lambda pp, xx, cc: _xla_equivalent(pp, xx, cc, bias_indices, heads,
+                                           windows_per_sample), p, x, cond)
+    dp, dx, dcond = vjp(g)
+    # integer bias indices carry a float0 cotangent
+    dbias = jnp.zeros(bias_indices.shape, dtype=jax.dtypes.float0)
+    return dp, dx, dcond, dbias
+
+
+window_attention_pallas.defvjp(_wap_fwd, _wap_bwd)
