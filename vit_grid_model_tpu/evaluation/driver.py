@@ -198,7 +198,7 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
 
         preds = fwd(params, jnp.asarray(sim_vit), jnp.asarray(raw_times))
         preds = np.asarray(preds).reshape(B, L, cells)
-        preds[preds < 0.0] = 0.0                 # ``evaluation_vit.py:254``
+        preds = np.maximum(preds, 0.0)           # ``evaluation_vit.py:254``
         if np.isnan(preds).any():                # NaN guard (``:256``)
             raise FloatingPointError(
                 f"NaN in model output at batch {bi}")

@@ -1,0 +1,128 @@
+"""Station-level evaluation: grid predictions scored at station locations.
+
+The reference ships the ``Air_Simulation_Reanalysis_Dataset_by_stn`` dataset
+(``dataset.py:1833-2219``) — per-station targets/masks/classes for
+station-wise scoring — but no driver that consumes it.  This completes the
+workflow: run the grid model, sample the predicted fields at the stations'
+grid coordinates (``coords.txt``, ``evaluation_vit.py:82-87``), and score
+against the ground observations with validity masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
+from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetByStn
+from vit_grid_model_tpu.data.pipeline import BatchLoader
+from vit_grid_model_tpu.data.timeutil import eval_time_list
+from vit_grid_model_tpu.evaluation import driver as eval_driver
+from vit_grid_model_tpu.evaluation.metrics import N_CLASSES, assign_class_eval
+from vit_grid_model_tpu.models.metnet3 import metnet3_apply
+
+
+@dataclasses.dataclass
+class StationMetrics:
+    """Masked station-level accumulator (valid = observation present)."""
+
+    def __post_init__(self):
+        self.confusion = np.zeros((N_CLASSES, N_CLASSES))
+        self.sq = 0.0
+        self.ab = 0.0
+        self.n = 0
+        self.sx = self.sy = self.sxx = self.syy = self.sxy = 0.0
+
+    def update(self, preds, truth, truth_cls, mask):
+        m = mask.astype(bool) & np.isfinite(truth)
+        p, t = preds[m].astype(np.float64), truth[m].astype(np.float64)
+        pc = assign_class_eval(preds)[m]
+        tc = truth_cls[m]
+        valid = tc >= 0
+        idx = pc[valid] * N_CLASSES + tc[valid]
+        self.confusion += np.bincount(
+            idx, minlength=N_CLASSES * N_CLASSES
+        ).reshape(N_CLASSES, N_CLASSES)
+        d = p - t
+        self.sq += np.square(d).sum()
+        self.ab += np.abs(d).sum()
+        self.n += p.size
+        self.sx += p.sum()
+        self.sy += t.sum()
+        self.sxx += np.square(p).sum()
+        self.syy += np.square(t).sum()
+        self.sxy += (p * t).sum()
+
+    def summary(self) -> Dict[str, float]:
+        c = self.confusion
+        acc = float(np.trace(c) / c.sum())
+        pod = float(c[2:, 2:].sum() / max(c[:, 2:].sum(), 1e-9))
+        far = float(c[2:, :2].sum() / max(c[2:, :].sum(), 1e-9))
+        cov = self.sxy - self.sx * self.sy / self.n
+        vx = self.sxx - self.sx ** 2 / self.n
+        vy = self.syy - self.sy ** 2 / self.n
+        return {
+            "ACC": acc, "POD": pod, "FAR": far,
+            "F1": 2 * pod * (1 - far) / max(pod + (1 - far), 1e-9),
+            "RMSE": float(np.sqrt(self.sq / self.n)),
+            "MAE": float(self.ab / self.n),
+            "R": float(cov / np.sqrt(max(vx * vy, 1e-18))),
+            "n_obs": int(self.n),
+        }
+
+
+def evaluate_by_station(params, model_cfg: MetNet3Config,
+                        data_cfg: DataConfig, *,
+                        test_start: datetime, test_end: datetime,
+                        batch_size: int = 8, num_workers: int = 4,
+                        matmul_precision: str = "highest",
+                        max_batches: Optional[int] = None) -> StationMetrics:
+    grid = data_cfg.grid
+    feat_infos = eval_driver.load_feat_infos(data_cfg.data_path)
+    stations = eval_driver.load_stations(data_cfg.data_path,
+                                         (grid.height, grid.width))
+    times = eval_time_list(test_start, test_end, data_cfg.prev_len,
+                           data_cfg.output_dim)
+    feats, masks = eval_driver.load_ground_obs(
+        data_cfg.data_path, times, stations.total, data_cfg.feat_dim)
+    dataset = AirSimulationReanalysisDatasetByStn(
+        times, feats, masks, input_dim=data_cfg.input_dim,
+        output_dim=data_cfg.output_dim, prev_len=data_cfg.prev_len,
+        korea_stn_num=stations.korea_stn_num,
+        china_stn_num=stations.china_stn_num,
+        cmaq_size=(grid.height, grid.width),
+        sim_data_path=data_cfg.sim_data_path,
+        reanalysis_data_path=data_cfg.analysis_data_path,
+        feat_infos=feat_infos)
+    loader = BatchLoader(dataset, batch_size=batch_size,
+                         num_workers=num_workers)
+
+    rows = stations.sim_coords[:, 0]
+    cols = stations.sim_coords[:, 1]
+
+    def forward(p, x, ts):
+        with jax.default_matmul_precision(matmul_precision):
+            return metnet3_apply(p, x, ts, model_cfg)
+
+    fwd = jax.jit(forward)
+    metrics = StationMetrics()
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
+         stn_cls) = batch
+        B = sim.shape[0]
+        x = sim.reshape(B, grid.height, grid.width, data_cfg.total_steps, -1
+                        ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
+        preds = np.asarray(fwd(params, jnp.asarray(x),
+                               jnp.asarray(raw_times)))
+        preds = np.maximum(preds, 0.0)   # eval clamp (evaluation_vit.py:254)
+        stn_preds = preds[:, :, rows, cols]          # (B, L, korea)
+        metrics.update(stn_preds, stn_vals, stn_cls, stn_mask)
+    return metrics
