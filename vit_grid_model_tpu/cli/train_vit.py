@@ -137,6 +137,11 @@ def main(argv=None) -> None:
     print(f"devices: {jax.devices()}; dataset: {len(dataset)} samples")
 
     params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
+    if args.resume:
+        from vit_grid_model_tpu.core.checkpoint import restore_params
+
+        params = restore_params(args.resume, params)
+        print(f"resumed parameters from {args.resume}")
     state = init_train_state(params, train_cfg)
     step_fn = build_train_step(model_cfg, train_cfg)
 
