@@ -288,3 +288,24 @@ def test_remaining_dataset_variants(tree):
     stn_inputs, multiair_out = out[6], out[7]
     assert stn_inputs.shape == (3, 2, 82, 67)
     assert multiair_out.shape == (2, 2, 82, 67)
+
+
+def test_loader_early_abandon_does_not_hang(tree):
+    """Abandoning the iterator mid-epoch must release the producer thread
+    (review fix: stop-aware queue puts)."""
+    import threading
+    import time as _time
+
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirOnlyDataset(times, feats, masks, 3, 2, 4, 8, 3)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(BatchLoader(ds, batch_size=1, num_workers=2,
+                              prefetch_batches=1))
+        next(it)
+        it.close()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before + 1

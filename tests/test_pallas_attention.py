@@ -70,3 +70,19 @@ def test_pallas_gradients_match_xla():
     for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_pallas_unconditioned_ln_affine():
+    """Without FiLM, the LN affine params must still apply (review fix)."""
+    key = jax.random.PRNGKey(0)
+    p = attention_init(key, 32, cond_dim=None, heads=4, dim_head=8,
+                       window_size=7, num_registers=4)
+    p["norm"]["g"] = p["norm"]["g"] * 1.7 + 0.1
+    p["norm"]["b"] = p["norm"]["b"] + 0.3
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    bias_idx = relative_position_indices(7, 4)
+    ref = attention(p, x, None, bias_idx, heads=4, windows_per_sample=3)
+    ours = _run_pallas_interpret(p, x, None, bias_idx, 4, 3)
+    rel = np.abs(np.asarray(ours) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 2e-5, rel

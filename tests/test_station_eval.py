@@ -17,13 +17,13 @@ from vit_grid_model_tpu.models.metnet3 import metnet3_init
 
 def test_station_metrics_masking():
     m = StationMetrics()
-    preds = np.asarray([[[10.0, 50.0]]])
-    truth = np.asarray([[[12.0, np.nan]]])
-    cls = np.asarray([[[0, -1]]])
-    mask = np.asarray([[[True, True]]])
-    m.update(preds, truth, cls, mask)
+    preds = np.asarray([[[10.0, 50.0, 20.0]]])
+    truth = np.asarray([[[12.0, np.nan, 25.0]]])
+    # column-6 semantics: True == INVALID observation (dataset.py:1889)
+    invalid = np.asarray([[[False, False, True]]])
+    m.update(preds, truth, invalid_flag=invalid)
     s = m.summary()
-    assert s["n_obs"] == 1            # NaN dropped
+    assert s["n_obs"] == 1            # NaN and flagged-invalid dropped
     assert abs(s["MAE"] - 2.0) < 1e-9
 
 

@@ -21,23 +21,52 @@ from typing import Optional
 import jax
 
 
+_initialized = False
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Initialize the JAX distributed runtime.  With no arguments the TPU
     pod environment variables drive discovery; explicit arguments support
-    DCN-connected CPU/GPU fleets and tests."""
-    if jax.process_count() > 1:
-        return                       # already initialized
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+    DCN-connected CPU/GPU fleets and tests.
+
+    MUST run before any backend use: querying devices (even
+    ``jax.process_count()``) initializes the backends, after which
+    ``jax.distributed.initialize`` refuses to run.  A failed multi-host
+    init is surfaced, not swallowed — silently falling back would leave
+    every host running as an independent single-process instance.
+    """
+    global _initialized
+    if _initialized:
+        return
+    explicit = coordinator_address is not None
+    kwargs = (dict(coordinator_address=coordinator_address,
+                   num_processes=num_processes, process_id=process_id)
+              if explicit else {})
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process environment (no coordinator): run locally
-        pass
+        _initialized = True
+    except ValueError:
+        if explicit:
+            raise
+        # no coordinator in the environment: legitimate single-process run
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg:
+            _initialized = True
+            return
+        if "before any jax calls" in msg and not explicit:
+            # backends already up in a single-process context (tests,
+            # notebooks): benign.  On a pod, configure the coordinator
+            # explicitly and call initialize() first — that path raises.
+            import warnings
+
+            warnings.warn(
+                "jax backends initialized before distributed.initialize(); "
+                "continuing single-process", RuntimeWarning)
+            return
+        raise
 
 
 def is_primary() -> bool:

@@ -65,6 +65,18 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(self.prefetch_batches)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # stop-aware put: a consumer that abandons the iterator mid-epoch
+            # (max_batches, exceptions) sets `stop`; a plain blocking put
+            # would pin this thread, its pool and the queued batches forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -73,11 +85,12 @@ class BatchLoader:
                             return
                         samples = list(pool.map(self.dataset.__getitem__,
                                                 chunk))
-                        out_q.put(("batch", self.collate(samples)))
+                        if not put(("batch", self.collate(samples))):
+                            return
             except BaseException as e:  # surface worker errors to consumer
-                out_q.put(("error", e))
+                put(("error", e))
                 return
-            out_q.put(("done", None))
+            put(("done", None))
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

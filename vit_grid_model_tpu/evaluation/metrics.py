@@ -60,10 +60,9 @@ class PredictorStats:
         self.lead_fn = np.zeros(3 * L)
         self.lead_sq = np.zeros(3 * L)
         self.lead_abs = np.zeros(3 * L)
-        self.abs_sum = 0.0
+        self.abs_sum = 0.0           # sum|pred - truth| (MAE and NME)
         self.sq_sum = 0.0
         self.bias_sum = 0.0          # sum(pred - truth) for NMB
-        self.absdev_sum = 0.0        # sum|pred - truth| for NME
         # streaming Pearson moments over every value
         self.n = 0
         self.sx = 0.0
@@ -73,8 +72,7 @@ class PredictorStats:
         self.sxy = 0.0
 
     def update(self, pred_vals: np.ndarray, pred_cls: np.ndarray,
-               truth_vals: np.ndarray, truth_cls: np.ndarray,
-               valid_count: Optional[np.ndarray] = None) -> None:
+               truth_vals: np.ndarray, truth_cls: np.ndarray) -> None:
         """pred/truth vals: (B, L, cells) float; cls: same-shape ints."""
         p = pred_vals.astype(np.float64)
         t = truth_vals.astype(np.float64)
@@ -94,7 +92,6 @@ class PredictorStats:
         self.abs_sum += np.abs(diffs).sum()
         self.sq_sum += np.square(diffs).sum()
         self.bias_sum += diffs.sum()
-        self.absdev_sum += np.abs(diffs).sum()
 
         self.n += p.size
         self.sx += p.sum()
@@ -151,7 +148,7 @@ class PredictorStats:
         return float(self.bias_sum / self.sy * 100.0)
 
     def nme(self) -> float:
-        return float(self.absdev_sum / self.sy * 100.0)
+        return float(self.abs_sum / self.sy * 100.0)
 
     def pearson_r(self) -> float:
         cov = self.sxy - self.sx * self.sy / self.n

@@ -39,11 +39,16 @@ class StationMetrics:
         self.n = 0
         self.sx = self.sy = self.sxx = self.syy = self.sxy = 0.0
 
-    def update(self, preds, truth, truth_cls, mask):
-        m = mask.astype(bool) & np.isfinite(truth)
+    def update(self, preds, truth, invalid_flag):
+        """``invalid_flag`` is the by_stn dataset's UNINVERTED column-6 flag
+        (True = observation invalid, ``dataset.py:1889``).  Truth classes
+        are computed here from the values — the dataset's ``stn_cls`` feeds
+        that flag straight into ``assign_class_masked`` and is therefore -1
+        at exactly the VALID stations (another faithful reference quirk)."""
+        m = (~invalid_flag.astype(bool)) & np.isfinite(truth)
         p, t = preds[m].astype(np.float64), truth[m].astype(np.float64)
         pc = assign_class_eval(preds)[m]
-        tc = truth_cls[m]
+        tc = assign_class_eval(np.nan_to_num(truth))[m]
         valid = tc >= 0
         idx = pc[valid] * N_CLASSES + tc[valid]
         self.confusion += np.bincount(
@@ -123,6 +128,7 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
         preds = np.asarray(fwd(params, jnp.asarray(x),
                                jnp.asarray(raw_times)))
         preds = np.maximum(preds, 0.0)   # eval clamp (evaluation_vit.py:254)
+        del stn_cls   # -1 at valid stations (see StationMetrics.update)
         stn_preds = preds[:, :, rows, cols]          # (B, L, korea)
-        metrics.update(stn_preds, stn_vals, stn_cls, stn_mask)
+        metrics.update(stn_preds, stn_vals, invalid_flag=stn_mask)
     return metrics

@@ -50,15 +50,13 @@ def basic_conv2d(p, x: Array, *, stride: int, padding: int,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if "b" in p["conv"]:
             y = y + p["conv"]["b"]
+        # out = (in-1)*s - 2*pad + k + output_padding; with
+        # output_padding <= padding (all ConvSC configs) the slice below is
+        # always in-bounds of the VALID conv_transpose result
+        assert output_padding <= padding, (output_padding, padding)
         h, w = y.shape[1], y.shape[2]
         y = y[:, padding:h - padding + output_padding,
               padding:w - padding + output_padding, :]
-        if output_padding:
-            cfg = [(0, 0), (0, output_padding), (0, output_padding), (0, 0)]
-            # slice above already kept room when input large enough; pad if
-            # the slice ran past the end
-            if y.shape[1] < h - 2 * padding + output_padding:
-                y = jnp.pad(y, cfg)
     if act_norm:
         y = vnn.leaky_relu(vnn.group_norm(p["norm"], y,
                                           groups=groups_for_norm))

@@ -128,11 +128,17 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, heads,
     # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
     n_pad = _round_up(n, 16)
 
-    # host-side (jit-traced, fused by XLA) precomputation of small pieces
+    # host-side (jit-traced, fused by XLA) precomputation of small pieces.
+    # Conditioned layers have no LN affine (``maxvit.py:137``); for
+    # unconditioned layers the affine g/b ride the FiLM slot instead.
     if "film" in p and cond is not None:
         gamma, beta = vnn.film(p["film"], cond)
         gamma = jnp.repeat(gamma, windows_per_sample, axis=0)
         beta = jnp.repeat(beta, windows_per_sample, axis=0)
+        has_film = True
+    elif "g" in p["norm"]:
+        gamma = jnp.broadcast_to(p["norm"]["g"], (bw, dim))
+        beta = jnp.broadcast_to(p["norm"]["b"], (bw, dim))
         has_film = True
     else:
         gamma = jnp.ones((bw, dim), x.dtype)

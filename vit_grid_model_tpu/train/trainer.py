@@ -47,9 +47,18 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         init_value=0.0, peak_value=cfg.learning_rate,
         warmup_steps=cfg.warmup_steps,
         decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1))
+
+    def decay_mask(params):
+        # BN running stats are state, not weights: exclude from weight decay
+        # (their grads are zero via stop_gradient, but adamw decay is
+        # decoupled and would shrink them regardless)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not _is_bn_stat(path), params)
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay,
+                    mask=decay_mask),
     )
 
 
@@ -61,9 +70,6 @@ def _is_bn_stat(path) -> bool:
 
 def init_train_state(params, cfg: TrainConfig) -> TrainState:
     tx = make_optimizer(cfg)
-    # BN running stats are state, not trainable weights: zero their slots
-    # via masking is unnecessary because their grads are zero (stop_gradient
-    # below), but adamw weight decay would still shrink them — mask it.
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32),
                       rng=jax.random.PRNGKey(cfg.seed))
