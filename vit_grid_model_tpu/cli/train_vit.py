@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="devices on the mesh 'data' axis (-1: all); "
+                        "batch_size must divide evenly")
     return p
 
 
@@ -143,13 +146,30 @@ def main(argv=None) -> None:
         params = restore_params(args.resume, params)
         print(f"resumed parameters from {args.resume}")
     state = init_train_state(params, train_cfg)
-    step_fn = build_train_step(model_cfg, train_cfg)
+
+    mesh = None
+    if args.data_parallel != 1:
+        from vit_grid_model_tpu.core.config import MeshConfig
+        from vit_grid_model_tpu.parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(
+            MeshConfig(data=args.data_parallel, model=1))
+        if args.batch_size % mesh.shape["data"] != 0:
+            raise ValueError("batch_size must divide over the data axis")
+        state = jax.device_put(state, meshlib.replicated(mesh))
+        print(f"mesh: {dict(mesh.shape)}")
+    step_fn = build_train_step(model_cfg, train_cfg, mesh)
 
     ckpt_base = os.path.join(args.checkpoint_dir, args.model_name)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
 
     batches = batches_from_dataset(dataset, data_cfg, args.batch_size,
                                    args.num_workers, args.seed)
+    if mesh is not None:
+        from vit_grid_model_tpu.parallel import mesh as meshlib
+
+        raw = batches
+        batches = (meshlib.shard_batch(mesh, b) for b in raw)
 
     done = 0
     while done < args.steps:
