@@ -67,10 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.gpus == "cpu":
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_PLATFORMS", "cpu" if args.gpus == "cpu"
+                          else os.environ.get("JAX_PLATFORMS", ""))
 
     import jax
+
+    if args.gpus == "cpu":
+        # env vars are pre-empted when a platform plugin registered itself
+        # at interpreter startup; force at the config layer
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import numpy as np
 
     from vit_grid_model_tpu.core.config import DataConfig, GridConfig, MetNet3Config
