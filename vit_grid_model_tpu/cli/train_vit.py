@@ -165,11 +165,17 @@ def main(argv=None) -> None:
 
     batches = batches_from_dataset(dataset, data_cfg, args.batch_size,
                                    args.num_workers, args.seed)
+    # overlap host->HBM transfer with the previous step's compute
+    from vit_grid_model_tpu.data.pipeline import device_prefetch
+
     if mesh is not None:
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
-        raw = batches
-        batches = (meshlib.shard_batch(mesh, b) for b in raw)
+        batches = device_prefetch(
+            batches, lambda b: meshlib.shard_batch(mesh, b))
+    else:
+        batches = device_prefetch(
+            batches, lambda b: jax.device_put(b))
 
     done = 0
     while done < args.steps:
