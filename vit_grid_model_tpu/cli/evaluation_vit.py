@@ -67,8 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    os.environ.setdefault("JAX_PLATFORMS", "cpu" if args.gpus == "cpu"
-                          else os.environ.get("JAX_PLATFORMS", ""))
+    if args.gpus == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     import jax
 

@@ -55,22 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed):
     """Adapt v3 dataset samples into train-step batches, looping epochs."""
-    import numpy as np
-
+    from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
     from vit_grid_model_tpu.data.pipeline import BatchLoader
 
-    grid = data_cfg.grid
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
                          seed=seed, num_workers=num_workers)
     while True:
         for (feats, masks, sim, curr, reanalysis, cls, raw_times,
              prev) in loader:
-            B = sim.shape[0]
-            x = sim.reshape(B, grid.height, grid.width,
-                            data_cfg.total_steps, -1
-                            ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
             yield {
-                "x": np.ascontiguousarray(x),
+                "x": sim_stack_to_model_input(sim, data_cfg.total_steps),
                 "timestamps": raw_times,
                 "targets": reanalysis,
             }

@@ -64,8 +64,7 @@ def assemble_simulation(times: Sequence[datetime], mod_idx: int, idx: int, *,
                         input_dim: int, output_dim: int, prev_len: int,
                         sim_data_path: str,
                         feat_infos: Dict[str, Tuple[float, float]],
-                        n_species: int, grid_shape: Tuple[int, int],
-                        include_input_output: bool = True
+                        n_species: int, grid_shape: Tuple[int, int]
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Build the full (H, W, (input+output) * (4S+4)) stack plus the
     ``(prev_len, H, W)`` cycle-mean PM2.5 history.
@@ -135,6 +134,17 @@ def read_reanalysis_window(times: Sequence[datetime], mod_idx: int, *,
         t_utc = kst_to_utc(times[mod_idx]) + timedelta(hours=t_idx + 1)
         out[t_idx] = readers.read_reanalysis_hour(reanalysis_data_path, t_utc)
     return np.asarray(curr, dtype=np.float32), out
+
+
+def sim_stack_to_model_input(simulation: np.ndarray, total_steps: int
+                             ) -> np.ndarray:
+    """The eval loop's reshape contract (``evaluation_vit.py:248-249``):
+    (B, H, W, T*(4S+4)) channels-last stack -> (B, T, 4S, H, W) with the
+    4 lead-time channels sliced off."""
+    b, h, w, _ = simulation.shape
+    x = simulation.reshape(b, h, w, total_steps, -1
+                           ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
+    return np.ascontiguousarray(x)
 
 
 RANGE_4CLASS = ((-1.0, 15.0), (15.0, 35.0), (35.0, 75.0), (75.0, np.inf))

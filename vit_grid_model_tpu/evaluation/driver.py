@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
+from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.readers import _read_netcdf_var
@@ -191,10 +192,7 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         if max_batches is not None and bi >= max_batches:
             break
         B = simulation.shape[0]
-        # reshape contract of the eval loop (``evaluation_vit.py:248-249``)
-        sim_vit = simulation.reshape(
-            B, grid.height, grid.width, data_cfg.total_steps, -1
-        ).transpose(0, 3, 4, 1, 2)[:, :, :-4, :, :]
+        sim_vit = sim_stack_to_model_input(simulation, data_cfg.total_steps)
 
         preds = fwd(params, jnp.asarray(sim_vit), jnp.asarray(raw_times))
         preds = np.asarray(preds).reshape(B, L, cells)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
+from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
 from vit_grid_model_tpu.data.pipeline import BatchLoader, device_prefetch
 from vit_grid_model_tpu.data.timeutil import eval_time_list
@@ -72,16 +73,13 @@ def generate_reanalysis(params, model_cfg: MetNet3Config,
 
     def prepare(batch):
         simulation, _, _, _, raw_times, _ = batch
-        B = simulation.shape[0]
-        x = simulation.reshape(B, grid.height, grid.width,
-                               data_cfg.total_steps, -1
-                               ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
+        x = sim_stack_to_model_input(simulation, data_cfg.total_steps)
         # Always pad to the full batch size: one compiled shape, and — a
         # faithful reference quirk — the dim-0 time-embedding concat
         # (``metnet3.py:395-401``) mixes embeddings ACROSS batch members,
         # so outputs are only reproducible under a fixed batch composition.
-        (x, raw_times), real = meshlib.pad_to_multiple(
-            (np.ascontiguousarray(x), raw_times), batch_size)
+        (x, raw_times), real = meshlib.pad_to_multiple((x, raw_times),
+                                                        batch_size)
         if mesh is not None:
             return (jax.device_put(jnp.asarray(x), bsh),
                     jax.device_put(jnp.asarray(raw_times), bsh), real)

@@ -37,6 +37,28 @@ N_CLASSES = 4
 HIGH = 2          # classes {2, 3} are the POD/FAR "event"
 
 
+class PearsonMoments:
+    """Streaming sufficient statistics for Pearson correlation."""
+
+    def __init__(self):
+        self.n = 0
+        self.sx = self.sy = self.sxx = self.syy = self.sxy = 0.0
+
+    def update(self, x: np.ndarray, y: np.ndarray) -> None:
+        self.n += x.size
+        self.sx += x.sum()
+        self.sy += y.sum()
+        self.sxx += np.square(x).sum()
+        self.syy += np.square(y).sum()
+        self.sxy += (x * y).sum()
+
+    def r(self) -> float:
+        cov = self.sxy - self.sx * self.sy / self.n
+        vx = self.sxx - self.sx ** 2 / self.n
+        vy = self.syy - self.sy ** 2 / self.n
+        return float(cov / np.sqrt(vx * vy))
+
+
 def assign_class_eval(arr: np.ndarray) -> np.ndarray:
     """The eval driver's local class mapping: default 0 (not -1)
     (``evaluation_vit.py:31-32``)."""
@@ -63,13 +85,7 @@ class PredictorStats:
         self.abs_sum = 0.0           # sum|pred - truth| (MAE and NME)
         self.sq_sum = 0.0
         self.bias_sum = 0.0          # sum(pred - truth) for NMB
-        # streaming Pearson moments over every value
-        self.n = 0
-        self.sx = 0.0
-        self.sy = 0.0
-        self.sxx = 0.0
-        self.syy = 0.0
-        self.sxy = 0.0
+        self.moments = PearsonMoments()   # over every value
 
     def update(self, pred_vals: np.ndarray, pred_cls: np.ndarray,
                truth_vals: np.ndarray, truth_cls: np.ndarray) -> None:
@@ -92,13 +108,7 @@ class PredictorStats:
         self.abs_sum += np.abs(diffs).sum()
         self.sq_sum += np.square(diffs).sum()
         self.bias_sum += diffs.sum()
-
-        self.n += p.size
-        self.sx += p.sum()
-        self.sy += t.sum()
-        self.sxx += np.square(p).sum()
-        self.syy += np.square(t).sum()
-        self.sxy += (p * t).sum()
+        self.moments.update(p, t)
 
         L = self.output_dim
         for i in range(1, 4):
@@ -139,22 +149,19 @@ class PredictorStats:
         return float(2 * (pod * (1 - far)) / (pod + (1 - far)))
 
     def mae(self) -> float:
-        return float(self.abs_sum / self.n)
+        return float(self.abs_sum / self.moments.n)
 
     def rmse(self) -> float:
-        return float((self.sq_sum / self.n) ** 0.5)
+        return float((self.sq_sum / self.moments.n) ** 0.5)
 
     def nmb(self) -> float:
-        return float(self.bias_sum / self.sy * 100.0)
+        return float(self.bias_sum / self.moments.sy * 100.0)
 
     def nme(self) -> float:
-        return float(self.abs_sum / self.sy * 100.0)
+        return float(self.abs_sum / self.moments.sy * 100.0)
 
     def pearson_r(self) -> float:
-        cov = self.sxy - self.sx * self.sy / self.n
-        vx = self.sxx - self.sx ** 2 / self.n
-        vy = self.syy - self.sy ** 2 / self.n
-        return float(cov / np.sqrt(vx * vy))
+        return self.moments.r()
 
     def lead_csi(self) -> np.ndarray:
         return self.lead_tp / (self.lead_tp + self.lead_fn + self.lead_fp)

@@ -20,11 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
+from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetByStn
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.timeutil import eval_time_list
 from vit_grid_model_tpu.evaluation import driver as eval_driver
-from vit_grid_model_tpu.evaluation.metrics import N_CLASSES, assign_class_eval
+from vit_grid_model_tpu.evaluation.metrics import (N_CLASSES, PearsonMoments,
+                                                   assign_class_eval)
 from vit_grid_model_tpu.models.metnet3 import metnet3_apply
 
 
@@ -36,8 +38,7 @@ class StationMetrics:
         self.confusion = np.zeros((N_CLASSES, N_CLASSES))
         self.sq = 0.0
         self.ab = 0.0
-        self.n = 0
-        self.sx = self.sy = self.sxx = self.syy = self.sxy = 0.0
+        self.moments = PearsonMoments()
 
     def update(self, preds, truth, invalid_flag):
         """``invalid_flag`` is the by_stn dataset's UNINVERTED column-6 flag
@@ -57,28 +58,21 @@ class StationMetrics:
         d = p - t
         self.sq += np.square(d).sum()
         self.ab += np.abs(d).sum()
-        self.n += p.size
-        self.sx += p.sum()
-        self.sy += t.sum()
-        self.sxx += np.square(p).sum()
-        self.syy += np.square(t).sum()
-        self.sxy += (p * t).sum()
+        self.moments.update(p, t)
 
     def summary(self) -> Dict[str, float]:
         c = self.confusion
         acc = float(np.trace(c) / c.sum())
         pod = float(c[2:, 2:].sum() / max(c[:, 2:].sum(), 1e-9))
         far = float(c[2:, :2].sum() / max(c[2:, :].sum(), 1e-9))
-        cov = self.sxy - self.sx * self.sy / self.n
-        vx = self.sxx - self.sx ** 2 / self.n
-        vy = self.syy - self.sy ** 2 / self.n
+        n = self.moments.n
         return {
             "ACC": acc, "POD": pod, "FAR": far,
             "F1": 2 * pod * (1 - far) / max(pod + (1 - far), 1e-9),
-            "RMSE": float(np.sqrt(self.sq / self.n)),
-            "MAE": float(self.ab / self.n),
-            "R": float(cov / np.sqrt(max(vx * vy, 1e-18))),
-            "n_obs": int(self.n),
+            "RMSE": float(np.sqrt(self.sq / n)),
+            "MAE": float(self.ab / n),
+            "R": self.moments.r(),
+            "n_obs": int(n),
         }
 
 
@@ -122,9 +116,7 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
             break
         (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
          stn_cls) = batch
-        B = sim.shape[0]
-        x = sim.reshape(B, grid.height, grid.width, data_cfg.total_steps, -1
-                        ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
+        x = sim_stack_to_model_input(sim, data_cfg.total_steps)
         preds = np.asarray(fwd(params, jnp.asarray(x),
                                jnp.asarray(raw_times)))
         preds = np.maximum(preds, 0.0)   # eval clamp (evaluation_vit.py:254)

@@ -128,9 +128,10 @@ def maxvit_apply(params, x: Array, cond: Array, spec: MaxViTSpec, *,
     w = spec.window_size
     nr = spec.num_register_tokens
     bias_idx = W.relative_position_indices(w, nr)
+    layer_dims = spec.layer_dims()
 
     for li, layer_p in enumerate(params["layers"]):
-        dim_in, dim_out, is_first = spec.layer_dims()[li]
+        dim_in, dim_out, is_first = layer_dims[li]
         keys = (jax.random.split(rng, 3) if (training and rng is not None)
                 else (None, None, None))
         if training and rng is not None:
