@@ -309,3 +309,32 @@ def test_loader_early_abandon_does_not_hang(tree):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before + 1
+
+
+def test_fault_injection_through_dataset(tree):
+    """Dropping CMAQ cycle files end-to-end: the sample still assembles,
+    with zero planes where files are missing (``dataset.py:784-789``)."""
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirSimulationReanalysisDatasetOnly(
+        times, feats, masks, input_dim=3, output_dim=2, prev_len=4,
+        korea_stn_num=8, china_stn_num=3, cmaq_size=(82, 67),
+        sim_data_path=tree["sim_data_path"],
+        reanalysis_data_path=tree["analysis_data_path"],
+        feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    ds.use_native = False          # fault hook applies to the numpy reader
+    readers.clear_caches()
+    try:
+        readers.set_fault_injection(lambda path: "03_" in path)
+        sim, curr, re, cls, raw, prev = ds[0]
+    finally:
+        readers.set_fault_injection(None)
+        readers.clear_caches()
+    # the 03h-cycle species channels are zero-filled... but standardized:
+    # (0 - mean)/std for the 5 standardized species, raw 0 for PM2.5
+    pm25_03h = sim[:, :, 4]
+    assert (pm25_03h == 0).all()
+    co_mean, co_std = synthetic.DEFAULT_FEAT_INFOS["CO"]
+    np.testing.assert_allclose(sim[:, :, 0], -co_mean / co_std, rtol=1e-5)
+    # other cycles unaffected
+    assert np.abs(sim[:, :, 6:12]).sum() > 0
