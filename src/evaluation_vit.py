@@ -8,6 +8,12 @@ log output location — backed by ``vit_grid_model_tpu``.
 import os
 import sys
 
+# BLAS thread pinning, as the reference does before heavy imports
+# (``evaluation_vit.py:3-5``)
+os.environ.setdefault("OMP_NUM_THREADS", "4")
+os.environ.setdefault("MKL_NUM_THREADS", "4")
+os.environ.setdefault("NUMEXPR_NUM_THREADS", "4")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from vit_grid_model_tpu.cli.evaluation_vit import main  # noqa: E402

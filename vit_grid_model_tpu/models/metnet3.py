@@ -434,3 +434,17 @@ def metnet3_class_outputs(params, x: Array, timestamps: Array,
                              region_targets_pm10)
     ret["loss"] = total
     return ret
+
+
+def get_ignore_keys_for_eval(cfg: MetNet3Config) -> list:
+    """Output keys to drop at eval time (reference ``metnet3.py:492-505``)."""
+    keys = []
+    if cfg.pm25:
+        keys += ["loss_pm25", "logits_pm25"]
+        if cfg.direct_regional:
+            keys += ["regr_loss_pm25"]
+    if cfg.pm10:
+        keys += ["loss_pm10", "logits_pm10"]
+        if cfg.direct_regional:
+            keys += ["regr_loss_pm10"]
+    return keys
