@@ -74,11 +74,12 @@ def main(argv=None) -> None:
 
     if args.gpus == "cpu":
         # env vars are pre-empted when a platform plugin registered itself
-        # at interpreter startup; force at the config layer
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        # at interpreter startup; force at the config layer and verify —
+        # silently running the accelerator would produce non-parity numbers
+        jax.config.update("jax_platforms", "cpu")
+        if any(d.platform != "cpu" for d in jax.devices()):
+            raise RuntimeError("--gpus cpu requested but the CPU backend "
+                               "could not be selected")
     import numpy as np
 
     from vit_grid_model_tpu.core.config import DataConfig, GridConfig, MetNet3Config

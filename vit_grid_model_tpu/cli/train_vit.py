@@ -171,11 +171,15 @@ def main(argv=None) -> None:
         batches = device_prefetch(
             batches, lambda b: jax.device_put(b))
 
+    import itertools
+
     done = 0
     while done < args.steps:
         chunk = min(args.checkpoint_every, args.steps - done)
-        state = train_loop(state, batches, step_fn, log_every=args.log_every,
-                           max_steps=chunk)
+        # islice bounds the iterator itself: train_loop's own max_steps
+        # check would pull (assemble + transfer) one extra batch per chunk
+        state = train_loop(state, itertools.islice(batches, chunk), step_fn,
+                           log_every=args.log_every)
         done += chunk
         path = save_params(f"{ckpt_base}.npz", state.params)
         print(f"step {done}: checkpoint -> {path}")

@@ -53,7 +53,7 @@ def initialize(coordinator_address: Optional[str] = None,
         # no coordinator in the environment: legitimate single-process run
     except RuntimeError as e:
         msg = str(e).lower()
-        if "already" in msg:
+        if "already" in msg or "only be called once" in msg:
             _initialized = True
             return
         if "before any jax calls" in msg and not explicit:

@@ -52,11 +52,15 @@ class PearsonMoments:
         self.syy += np.square(y).sum()
         self.sxy += (x * y).sum()
 
-    def r(self) -> float:
+    def r(self, guard: float = 0.0) -> float:
+        """``guard`` > 0 clamps the variance product so degenerate samples
+        (zero variance / single observation) return 0-ish instead of NaN;
+        the grid-eval path keeps guard=0 for reference parity."""
         cov = self.sxy - self.sx * self.sy / self.n
         vx = self.sxx - self.sx ** 2 / self.n
         vy = self.syy - self.sy ** 2 / self.n
-        return float(cov / np.sqrt(vx * vy))
+        denom = np.sqrt(max(vx * vy, guard) if guard else vx * vy)
+        return float(cov / denom)
 
 
 def assign_class_eval(arr: np.ndarray) -> np.ndarray:

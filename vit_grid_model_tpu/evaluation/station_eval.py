@@ -71,7 +71,7 @@ class StationMetrics:
             "F1": 2 * pod * (1 - far) / max(pod + (1 - far), 1e-9),
             "RMSE": float(np.sqrt(self.sq / n)),
             "MAE": float(self.ab / n),
-            "R": self.moments.r(),
+            "R": self.moments.r(guard=1e-18),
             "n_obs": int(n),
         }
 
