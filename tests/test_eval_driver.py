@@ -47,3 +47,75 @@ def test_evaluate_end_to_end(tmp_path):
     # per-lead tables have the right shapes
     t = metrics.lead_tables("model")
     assert t["CSI"].shape == (3 * 2,)
+
+
+def _small_setup(tmp_path, hours=13):
+    """Synthetic tree + configs shared by the data-parallel eval tests."""
+    end = datetime(2023, 5, 1, hours)
+    paths = synthetic.generate_tree(
+        str(tmp_path), datetime(2023, 5, 1, 0), end,
+        prev_len=3, output_dim=2, korea_stn_num=5, china_stn_num=2)
+    readers.clear_caches()
+    data_cfg = DataConfig(input_dim=2, output_dim=2, prev_len=3,
+                          feat_dim=12, grid=GridConfig(),
+                          data_path=paths["data_path"],
+                          sim_data_path=paths["sim_data_path"],
+                          analysis_data_path=paths["analysis_data_path"])
+    model_cfg = MetNet3Config(window_size=4, n_variables=24,
+                              n_start_channels=16, end_lead_time=2,
+                              pm25_mean=22.5, pm25_std=15.5, n_heads=4,
+                              dim_head=4)
+    return data_cfg, model_cfg, end
+
+
+def test_evaluate_data_parallel_matches_single(tmp_path):
+    """The reference's one parallelism feature is DataParallel *evaluation*
+    (``evaluation_vit.py:107``).  The mesh-sharded evaluate() must produce
+    identical metrics to the single-device run — GSPMD computes the global
+    program, so even the batch-mixing time-embedding quirk is preserved."""
+    # 14 hourly times -> 10 samples: one full batch of 8 (sharded over the
+    # 8-device CPU mesh) + a remainder batch of 2 (unsharded fallback path)
+    data_cfg, model_cfg, end = _small_setup(tmp_path, hours=13)
+    params = metnet3_init(jax.random.PRNGKey(1), model_cfg)
+
+    kw = dict(test_start=datetime(2023, 5, 1, 0), test_end=end,
+              batch_size=8, log_dir=str(tmp_path / "logs"), progress=False)
+    single = driver.evaluate(params, model_cfg, data_cfg,
+                             model_name="dp_single", **kw)
+
+    from vit_grid_model_tpu.core.config import MeshConfig
+    from vit_grid_model_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    assert mesh.shape["data"] == 8
+    sharded = driver.evaluate(params, model_cfg, data_cfg,
+                              model_name="dp_sharded", mesh=mesh, **kw)
+
+    s1, s2 = single.summary(), sharded.summary()
+    for name in ("model", "persist", "sim_21h", "sim_avg"):
+        for metric in s1[name]:
+            np.testing.assert_allclose(s1[name][metric], s2[name][metric],
+                                       rtol=1e-6, err_msg=f"{name}/{metric}")
+    np.testing.assert_array_equal(single.stats["model"].confusion,
+                                  sharded.stats["model"].confusion)
+    for key in ("CSI", "F1", "RMSE", "MAE"):
+        np.testing.assert_allclose(single.lead_tables("model")[key],
+                                   sharded.lead_tables("model")[key],
+                                   rtol=1e-6)
+
+
+def test_evaluate_collects_valid_times_quirk19(tmp_path):
+    """Quirk #19 (``evaluation_vit.py:285-289``): encoded YYYYMMDDHH of
+    samples whose last input hour is 06, flag-gated."""
+    data_cfg, model_cfg, end = _small_setup(tmp_path, hours=11)
+    params = metnet3_init(jax.random.PRNGKey(1), model_cfg)
+    metrics = driver.evaluate(
+        params, model_cfg, data_cfg, model_name="q19",
+        test_start=datetime(2023, 5, 1, 0), test_end=end,
+        batch_size=4, log_dir=str(tmp_path / "logs"), progress=False,
+        collect_valid_times=True)
+    got = np.concatenate(metrics.valid_times)
+    # samples are indexed by mod_idx = idx + prev_len - 1; last input hour
+    # = times[mod_idx]; with 12 hourly times from 00 there are 8 samples
+    # with last-input hours 02..09 -> exactly one has hour == 6
+    assert got.tolist() == [2023050106]

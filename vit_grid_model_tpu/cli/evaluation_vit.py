@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="devices on the mesh 'data' axis for data-parallel "
+                        "evaluation (-1: all devices); the TPU counterpart "
+                        "of the reference's nn.DataParallel eval — results "
+                        "are bit-identical to single-device")
+    p.add_argument("--collect_valid_times", action="store_true",
+                   help="reproduce reference quirk #19: collect encoded "
+                        "sample times with last input hour == 6")
     return p
 
 
@@ -141,6 +149,14 @@ def main(argv=None) -> None:
               "(synthetic smoke mode)")
         params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
 
+    mesh = None
+    if args.data_parallel != 1:
+        from vit_grid_model_tpu.core.config import MeshConfig
+        from vit_grid_model_tpu.parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1))
+        print(f"mesh: {dict(mesh.shape)}")
+
     print(f"devices: {jax.devices()}")
     print(args)
     metrics = driver.evaluate(
@@ -148,7 +164,8 @@ def main(argv=None) -> None:
         test_start=test_start, test_end=test_end,
         batch_size=args.batch_size, num_workers=args.num_workers,
         log_dir=args.log_dir, args_repr=str(args),
-        matmul_precision=args.precision, max_batches=args.max_batches)
+        matmul_precision=args.precision, max_batches=args.max_batches,
+        mesh=mesh, collect_valid_times=args.collect_valid_times)
     summary = metrics.summary()
     print("model RMSE: {:.4f}  MAE: {:.4f}  R: {:.4f}".format(
         summary["model"]["RMSE"], summary["model"]["MAE"],

@@ -149,10 +149,27 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
              log_dir: str = "logs", args_repr: str = "",
              matmul_precision: str = "highest",
              sharding: Optional[jax.sharding.Sharding] = None,
+             mesh: Optional[jax.sharding.Mesh] = None,
+             collect_valid_times: bool = False,
              progress: bool = True,
              max_batches: Optional[int] = None) -> EvaluationMetrics:
     """Run the full evaluation; returns the metric accumulator (and appends
-    the reference-format log)."""
+    the reference-format log).
+
+    ``mesh``: data-parallel evaluation — the TPU-native counterpart of the
+    reference's ``nn.DataParallel(vit_model)`` (``evaluation_vit.py:107``).
+    The batch axis is sharded over the mesh's 'data' axis and jit/GSPMD
+    computes the *global* program, so (unlike torch DataParallel, whose
+    per-GPU chunks change the batch-mixing time-embedding quirk
+    ``metnet3.py:395-401``) results are bit-identical to the single-device
+    run.  A trailing batch not divisible by the data axis falls back to the
+    unsharded compile of the same function — numerics unchanged either way.
+
+    ``collect_valid_times``: reference quirk #19 — collect encoded sample
+    times whose last input hour == 6 (``evaluation_vit.py:285-289``) into
+    ``metrics.valid_times``; dead bookkeeping in the reference (feeds only a
+    commented-out save path ``:472-483``), reproduced behind this flag.
+    """
     grid = data_cfg.grid
     cells = grid.cells
 
@@ -180,7 +197,15 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
             return metnet3_apply(p, x, ts, model_cfg)
 
     fwd = jax.jit(forward)
-    if sharding is not None:
+    n_data = 1
+    batch_shd = None
+    if mesh is not None:
+        from vit_grid_model_tpu.parallel import mesh as meshlib
+
+        n_data = mesh.shape["data"]
+        batch_shd = meshlib.batch_sharding(mesh)
+        params = jax.device_put(params, meshlib.replicated(mesh))
+    elif sharding is not None:
         params = jax.device_put(params, sharding)
 
     metrics = EvaluationMetrics(data_cfg.output_dim)
@@ -194,7 +219,11 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         B = simulation.shape[0]
         sim_vit = sim_stack_to_model_input(simulation, data_cfg.total_steps)
 
-        preds = fwd(params, jnp.asarray(sim_vit), jnp.asarray(raw_times))
+        x, ts = jnp.asarray(sim_vit), jnp.asarray(raw_times)
+        if batch_shd is not None and B % n_data == 0:
+            x = jax.device_put(x, batch_shd)
+            ts = jax.device_put(ts, batch_shd)
+        preds = fwd(params, x, ts)
         preds = np.asarray(preds).reshape(B, L, cells)
         preds = np.maximum(preds, 0.0)           # ``evaluation_vit.py:254``
         if np.isnan(preds).any():                # NaN guard (``:256``)
@@ -208,6 +237,14 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
             model=preds, persist=persist, sim_21h=sim_21h, sim_avg=sim_avg,
             truth=reanalysis.reshape(B, L, cells),
             truth_cls=re_cls.reshape(B, L, cells))
+        if collect_valid_times:
+            # quirk #19: samples whose LAST input hour is 06 KST, encoded
+            # YYYYMMDDHH as int (``evaluation_vit.py:285-289``)
+            last_in = np.asarray(raw_times)[:, data_cfg.input_dim - 1]
+            sel = last_in[last_in[:, 3] == 6.0].astype(np.int64)
+            metrics.valid_times.append(
+                sel[:, 0] * 1000000 + sel[:, 1] * 10000
+                + sel[:, 2] * 100 + sel[:, 3])
         if progress and bi % 10 == 0:
             done = metrics.step_cnt * batch_size
             rate = done / max(time.time() - t0, 1e-9)

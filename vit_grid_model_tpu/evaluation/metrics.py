@@ -135,22 +135,30 @@ class PredictorStats:
 
     # ---- summary quantities -------------------------------------------
 
+    # With eps=0 (model/persistence parity path) an event-free test window
+    # yields the reference's own 0/0 = NaN (``evaluation_vit.py:560-570``);
+    # errstate marks that as intended rather than warning spam.
+
     def acc(self) -> float:
-        return float(np.trace(self.confusion) / self.confusion.sum())
+        with np.errstate(invalid="ignore"):
+            return float(np.trace(self.confusion) / self.confusion.sum())
 
     def pod(self, eps: float = 0.0) -> float:
         num = self.confusion[HIGH:, HIGH:].sum()
         den = self.confusion[:, HIGH:].sum() + eps
-        return float(num / den)
+        with np.errstate(invalid="ignore"):
+            return float(num / den)
 
     def far(self, eps: float = 0.0) -> float:
         num = self.confusion[HIGH:, :HIGH].sum()
         den = self.confusion[HIGH:, :].sum() + eps
-        return float(num / den)
+        with np.errstate(invalid="ignore"):
+            return float(num / den)
 
     def f1(self, eps: float = 0.0) -> float:
         pod, far = self.pod(eps), self.far(eps)
-        return float(2 * (pod * (1 - far)) / (pod + (1 - far)))
+        with np.errstate(invalid="ignore"):
+            return float(2 * (pod * (1 - far)) / (pod + (1 - far)))
 
     def mae(self) -> float:
         return float(self.abs_sum / self.moments.n)
@@ -167,18 +175,27 @@ class PredictorStats:
     def pearson_r(self) -> float:
         return self.moments.r()
 
+    # The per-(threshold, lead) tables deliberately produce NaN for empty
+    # buckets — exactly the reference's 0/0 arithmetic
+    # (``evaluation_vit.py:435-463``); errstate silences only the expected
+    # warnings so real numeric bugs still warn elsewhere.
+
     def lead_csi(self) -> np.ndarray:
-        return self.lead_tp / (self.lead_tp + self.lead_fn + self.lead_fp)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.lead_tp / (self.lead_tp + self.lead_fn + self.lead_fp)
 
     def lead_f1(self) -> np.ndarray:
-        return 2 * self.lead_tp / (2 * self.lead_tp + self.lead_fn
-                                   + self.lead_fp)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return 2 * self.lead_tp / (2 * self.lead_tp + self.lead_fn
+                                       + self.lead_fp)
 
     def lead_rmse(self, valid_count: np.ndarray) -> np.ndarray:
-        return np.sqrt(self.lead_sq / valid_count)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.sqrt(self.lead_sq / valid_count)
 
     def lead_mae(self, valid_count: np.ndarray) -> np.ndarray:
-        return self.lead_abs / valid_count
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.lead_abs / valid_count
 
 
 class EvaluationMetrics:
@@ -195,6 +212,10 @@ class EvaluationMetrics:
         self.valid_count = np.zeros(3 * output_dim)
         self.loss_sum = 0.0
         self.step_cnt = 0
+        # quirk #19 bookkeeping (``evaluation_vit.py:285-289``): per-batch
+        # encoded YYYYMMDDHH ints of samples with last input hour == 6;
+        # filled by the driver only under ``collect_valid_times``
+        self.valid_times: list = []
 
     def update(self, *, model: np.ndarray, persist: np.ndarray,
                sim_21h: np.ndarray, sim_avg: np.ndarray,
