@@ -119,6 +119,76 @@ def test_data_parallel_matches_single_device():
     assert max(jax.tree.leaves(diffs)) < 1e-4
 
 
+def test_resume_matches_uninterrupted(tmp_path):
+    """Full train-state checkpointing: train 2 steps, save, restore, train 2
+    more == an uninterrupted 4-step run (optimizer moments, schedule step
+    and PRNG all continue; params-only resume would diverge)."""
+    from vit_grid_model_tpu.core.checkpoint import (restore_train_state,
+                                                    save_train_state)
+
+    cfg = _cfg()
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_steps=2,
+                     batch_size=2)
+    batches = [_batch(cfg, B=2, seed=s) for s in range(4)]
+
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    step = build_train_step(cfg, tc)
+
+    full = init_train_state(jax.tree.map(jnp.array, params), tc)
+    for b in batches:
+        full, _ = step(full, b)
+
+    half = init_train_state(jax.tree.map(jnp.array, params), tc)
+    for b in batches[:2]:
+        half, _ = step(half, b)
+    path = save_train_state(str(tmp_path / "t_state.npz"), half)
+    resumed = restore_train_state(path, init_train_state(
+        jax.tree.map(jnp.array, params), tc))
+    assert int(resumed.step) == 2
+    for b in batches[2:]:
+        resumed, _ = step(resumed, b)
+
+    assert int(resumed.step) == int(full.step) == 4
+    for tree_a, tree_b in ((full.params, resumed.params),
+                           (full.opt_state, resumed.opt_state)):
+        diffs = jax.tree.map(
+            lambda a, b: np.abs(np.asarray(a, np.float64)
+                                - np.asarray(b, np.float64)).max(),
+            tree_a, tree_b)
+        assert max(jax.tree.leaves(diffs)) == 0.0
+    np.testing.assert_array_equal(np.asarray(full.rng),
+                                  np.asarray(resumed.rng))
+
+
+def test_ema_params_track_weights():
+    """TrainConfig.ema_decay maintains an EMA copy: check the exact
+    recurrence ema <- d*ema + (1-d)*params over 3 steps."""
+    cfg = _cfg()
+    d = 0.5
+    tc = TrainConfig(learning_rate=1e-3, total_steps=5, warmup_steps=1,
+                     batch_size=2, ema_decay=d)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, tc)
+    assert state.ema_params is not None
+    step = build_train_step(cfg, tc)
+
+    expect = jax.tree.map(lambda x: np.asarray(x, np.float64), params)
+    for s in range(3):
+        state, _ = step(state, _batch(cfg, B=2, seed=s))
+        expect = jax.tree.map(
+            lambda e, p: e * d + np.asarray(p, np.float64) * (1 - d),
+            expect, state.params)
+    diffs = jax.tree.map(
+        lambda a, b: np.abs(np.asarray(a, np.float64) - b).max(),
+        state.ema_params, expect)
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+    # EMA lags the raw params (it still holds init mass)
+    moved = jax.tree.map(
+        lambda e, p: np.abs(np.asarray(e) - np.asarray(p)).max(),
+        state.ema_params, state.params)
+    assert max(jax.tree.leaves(moved)) > 0
+
+
 def test_class_head_outputs():
     """The documented class-head contract (``metnet3.py:432-490``): logits,
     NaN-masked CE, midpoint-decoded values, regional heads."""

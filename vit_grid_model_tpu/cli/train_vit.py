@@ -46,7 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=4)
-    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="a *_state.npz resumes the FULL train state "
+                        "(optimizer moments, schedule step, PRNG, EMA); a "
+                        "params checkpoint restores weights only")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="exponential-moving-average decay for an EMA copy "
+                        "of the params (0 disables); saved alongside as "
+                        "{model_name}_ema.npz")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="devices on the mesh 'data' axis (-1: all); "
                         "batch_size must divide evenly")
@@ -118,7 +125,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps, total_steps=args.steps,
         batch_size=args.batch_size, loss=args.loss,
         focal_beta=args.focal_beta, focal_gamma=args.focal_gamma,
-        remat=args.remat, seed=args.seed)
+        remat=args.remat, seed=args.seed, ema_decay=args.ema_decay)
 
     times = eval_time_list(train_start, train_end, args.prev_len,
                            args.output_dim)
@@ -134,12 +141,22 @@ def main(argv=None) -> None:
     print(f"devices: {jax.devices()}; dataset: {len(dataset)} samples")
 
     params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
-    if args.resume:
+    if args.resume and args.resume.endswith("_state.npz"):
+        from vit_grid_model_tpu.core.checkpoint import restore_train_state
+
+        state = restore_train_state(args.resume,
+                                    init_train_state(params, train_cfg))
+        print(f"resumed full train state from {args.resume} "
+              f"(step {int(state.step)})")
+    elif args.resume:
         from vit_grid_model_tpu.core.checkpoint import restore_params
 
         params = restore_params(args.resume, params)
-        print(f"resumed parameters from {args.resume}")
-    state = init_train_state(params, train_cfg)
+        state = init_train_state(params, train_cfg)
+        print(f"resumed parameters only from {args.resume} "
+              "(optimizer moments and schedule restart)")
+    else:
+        state = init_train_state(params, train_cfg)
 
     mesh = None
     if args.data_parallel != 1:
@@ -173,16 +190,23 @@ def main(argv=None) -> None:
 
     import itertools
 
+    from vit_grid_model_tpu.core.checkpoint import save_train_state
+
     done = 0
-    while done < args.steps:
-        chunk = min(args.checkpoint_every, args.steps - done)
+    remaining = args.steps - int(state.step)   # full-state resume continues
+    while done < remaining:
+        chunk = min(args.checkpoint_every, remaining - done)
         # islice bounds the iterator itself: train_loop's own max_steps
         # check would pull (assemble + transfer) one extra batch per chunk
         state = train_loop(state, itertools.islice(batches, chunk), step_fn,
                            log_every=args.log_every)
         done += chunk
         path = save_params(f"{ckpt_base}.npz", state.params)
-        print(f"step {done}: checkpoint -> {path}")
+        save_train_state(f"{ckpt_base}_state.npz", state)
+        if state.ema_params is not None:
+            save_params(f"{ckpt_base}_ema.npz", state.ema_params)
+        print(f"step {int(state.step)}: checkpoint -> {path} "
+              f"(+ {ckpt_base}_state.npz)")
     print("training complete")
 
 

@@ -17,14 +17,17 @@ import jax
 import numpy as np
 
 
+def _path_key(path) -> str:
+    # DictKey -> .key, SequenceKey -> .idx, GetAttrKey (namedtuples e.g.
+    # optax ScaleByAdamState) -> .name
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+        for p in path)
+
+
 def _flatten_with_paths(tree):
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    out = {}
-    for path, leaf in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                       for p in path)
-        out[key] = np.asarray(leaf)
-    return out
+    return {_path_key(path): np.asarray(leaf) for path, leaf in flat}
 
 
 def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
@@ -48,14 +51,24 @@ def restore_params(path: str, like: Any) -> Any:
         ref = _flatten_with_paths(like)
         assert set(data.files) == set(ref.keys()), "checkpoint key mismatch"
         flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-        leaves = []
-        for p, leaf in flat:
-            key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
-                           for q in p)
-            leaves.append(jax.numpy.asarray(data[key]))
+        leaves = [jax.numpy.asarray(data[_path_key(p)]) for p, _ in flat]
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(like), leaves)
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), like)
+
+
+def save_train_state(path: str, state: Any) -> str:
+    """Save the FULL train state — params, optimizer moments, schedule
+    position (step), PRNG key, and EMA params if present — so ``--resume``
+    continues exactly where training stopped instead of silently
+    re-initializing Adam moments and warmup (the params-only trap)."""
+    return save_params(path, state)
+
+
+def restore_train_state(path: str, like: Any) -> Any:
+    """Restore a full train state into the structure of ``like`` (a freshly
+    ``init_train_state``-ed TrainState with the same TrainConfig)."""
+    return restore_params(path, like)

@@ -147,7 +147,9 @@ class TrainConfig:
     focal_gamma: float = 1.0       # Focal-R activation exponent
     focal_beta: float = 0.2        # scaling of |error| inside the focal weight
     loss: str = "focal_r"          # focal_r | mse | mae | huber
-    ema_decay: float = 0.0
+    ema_decay: float = 0.0         # >0: keep an EMA copy of params
+                                   # (TrainState.ema_params), saved as
+                                   # {model_name}_ema.npz
     seed: int = 0
     remat: bool = False            # jax.checkpoint the backbone
 

@@ -40,6 +40,9 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
+    # exponential moving average of params (None unless TrainConfig.ema_decay
+    # > 0); evaluated instead of the raw params when present
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -70,9 +73,11 @@ def _is_bn_stat(path) -> bool:
 
 def init_train_state(params, cfg: TrainConfig) -> TrainState:
     tx = make_optimizer(cfg)
+    ema = jax.tree.map(jnp.array, params) if cfg.ema_decay > 0 else None
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32),
-                      rng=jax.random.PRNGKey(cfg.seed))
+                      rng=jax.random.PRNGKey(cfg.seed),
+                      ema_params=ema)
 
 
 def _merge_bn(params, bn_updates):
@@ -134,6 +139,14 @@ def build_train_step(model_cfg: MetNet3Config, train_cfg: TrainConfig,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = _merge_bn(params, bn_updates)
+        ema = state.ema_params
+        if ema is not None and train_cfg.ema_decay > 0:
+            d = train_cfg.ema_decay
+            # BN running stats ride the same EMA — they are themselves
+            # exponential averages, so a second smoothing is harmless and
+            # keeps eval-with-EMA self-consistent
+            ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                               ema, params)
         gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss, "grad_norm": gnorm,
@@ -141,7 +154,7 @@ def build_train_step(model_cfg: MetNet3Config, train_cfg: TrainConfig,
             "rmse": jnp.sqrt(jnp.mean(jnp.square(
                 preds - jnp.nan_to_num(batch["targets"])))),
         }
-        return TrainState(params, opt_state, state.step + 1, rng), metrics
+        return TrainState(params, opt_state, state.step + 1, rng, ema), metrics
 
     # With a mesh, shardings ride on the input arrays themselves: the caller
     # places params/opt_state replicated and the batch sharded on 'data'
