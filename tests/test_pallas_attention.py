@@ -72,6 +72,89 @@ def test_pallas_gradients_match_xla():
                                    rtol=5e-4, atol=1e-5)
 
 
+def test_pallas_gradients_match_xla_bf16():
+    """Gradient parity in the throughput dtype: bf16 activations through the
+    Pallas forward must backprop (XLA-recompute VJP) to the same grads as
+    the pure-XLA bf16 path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
+
+    key = jax.random.PRNGKey(0)
+    p = attention_init(key, 32, cond_dim=2, heads=4, dim_head=8,
+                       window_size=7, num_registers=4)
+    # bf16 mode casts params AND activations (as the model does), so both
+    # paths produce bf16 outputs and the VJP signatures line up
+    p = jax.tree.map(lambda t: t.astype(jnp.bfloat16)
+                     if t.dtype == jnp.float32 else t, p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32)
+                          ).astype(jnp.bfloat16)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2)
+                             ).astype(jnp.bfloat16)
+    bias_idx = relative_position_indices(7, 4)
+
+    # compare VJPs under the SAME cotangent: this isolates the custom_vjp
+    # wiring (residuals, dtypes, shapes) from forward bf16 rounding, which
+    # the forward-equivalence tests already bound
+    g = jax.random.normal(jax.random.PRNGKey(3), (6, 53, 32)
+                          ).astype(jnp.bfloat16)
+
+    _, vjp_ref = jax.vjp(
+        lambda pp, xx: attention(pp, xx, cond, bias_idx, heads=4,
+                                 windows_per_sample=3), p, x)
+    g_ref = vjp_ref(g)
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp_pl = jax.vjp(
+            lambda pp, xx: window_attention_pallas(pp, xx, cond, bias_idx,
+                                                   4, 3), p, x)
+        g_pl = vjp_pl(g)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_short_train_pallas_matches_xla_loss_curve():
+    """Train 3 steps of the full model with use_pallas_attention=True
+    (dropout=0 so the kernel is active in training) and assert the loss
+    curve matches the XLA-attention run."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
+    from vit_grid_model_tpu.models.metnet3 import metnet3_init
+    from vit_grid_model_tpu.train.trainer import (build_train_step,
+                                                  init_train_state)
+
+    base = dict(window_size=3, n_variables=24, n_start_channels=16,
+                end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                n_heads=4, dim_head=4, dropout=0.0)
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_steps=1,
+                     batch_size=1)
+    rng = np.random.default_rng(0)
+    batches = [{
+        "x": rng.random((1, 3, 24, 82, 67), dtype=np.float32) * 50,
+        "timestamps": np.tile(np.asarray([2023., 1., 15., 6.], np.float32),
+                              (1, 7, 1)),
+        "targets": rng.random((1, 2, 82, 67), dtype=np.float32) * 60,
+    } for _ in range(3)]
+
+    def run(use_pallas):
+        cfg = MetNet3Config(**base, use_pallas_attention=use_pallas)
+        params = metnet3_init(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(jax.tree.map(jnp.array, params), tc)
+        step = build_train_step(cfg, tc)
+        losses = []
+        for b in batches:
+            state, m = step(state, b)
+            losses.append(float(m["loss"]))
+        return losses
+
+    ref = run(False)
+    with pltpu.force_tpu_interpret_mode():
+        got = run(True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
 def test_pallas_unconditioned_ln_affine():
     """Without FiLM, the LN affine params must still apply (review fix)."""
     key = jax.random.PRNGKey(0)
