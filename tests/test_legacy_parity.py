@@ -19,7 +19,10 @@ C.add_reference_to_path()
 from vit_grid_model_tpu.core import torch_import as TI  # noqa: E402
 
 
-def _close(a, b, rel=2e-4):
+def _close(a, b, rel=1e-5):
+    # Observed worst case across the whole legacy family is ~5e-7 rel
+    # (f32 accumulation-order noise through the LSTM steps); 1e-5 keeps
+    # 20x headroom while catching any real semantic drift.
     a, b = np.asarray(a), np.asarray(b)
     denom = np.abs(b).max() + 1e-9
     assert np.abs(a - b).max() / denom < rel, (
