@@ -49,3 +49,25 @@ def test_evaluate_by_station(tmp_path):
     s = m.summary()
     assert s["n_obs"] > 0
     assert np.isfinite(s["RMSE"]) and np.isfinite(s["ACC"])
+
+
+def test_station_eval_cli_end_to_end(tmp_path):
+    """The by_stn workflow is reachable from the command line and writes the
+    reference-style metric block (VERDICT r1 item 7)."""
+    from vit_grid_model_tpu.cli import station_eval as cli
+
+    cli.main([
+        "--synthetic", "--synthetic_root", str(tmp_path / "synth"),
+        "--gpus", "cpu", "--input_dim", "2", "--output_dim", "2",
+        "--prev_len", "3", "--hidden_dim", "16", "--batch_size", "4",
+        "--test_start", "2023-04-01T00", "--test_end", "2023-04-01T10",
+        "--model_name", "stn_cli", "--log_dir", str(tmp_path / "logs"),
+    ])
+    log = (tmp_path / "logs" / "test_stn_cli_by_stn.log").read_text()
+    # structural check: every scalar line present, '{:.4f}' formatted
+    for key in ("total ACC", "total POD", "total FAR", "total F1 score",
+                "MAE", "RMSE", "R", "n_obs"):
+        assert f"station model {key}:" in log, key
+    import re
+
+    assert re.search(r"station model RMSE: \d+\.\d{4}\n", log)

@@ -73,6 +73,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_model_params(args, model_cfg):
+    """Resolve the checkpoint the reference way (``evaluation_vit.py:109``:
+    ``check_points/{model_name}.pkt``): torch ``.pkt`` -> converter, orbax
+    dir / ``.npz`` -> restore, otherwise random init for synthetic smoke
+    runs.  Shared by the grid-eval and station-eval CLIs."""
+    import jax
+
+    ckpt = args.checkpoint or f"check_points/{args.model_name}.pkt"
+    if os.path.exists(ckpt) and ckpt.endswith(".pkt"):
+        from vit_grid_model_tpu.core.torch_import import convert_checkpoint
+
+        params = convert_checkpoint(ckpt, model_cfg)
+        print(f"loaded torch checkpoint: {ckpt}")
+    elif os.path.isdir(ckpt) or ckpt.endswith(".npz"):
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
+        from vit_grid_model_tpu.core.checkpoint import restore_params
+        from vit_grid_model_tpu.models.metnet3 import metnet3_init
+
+        params = restore_params(ckpt, metnet3_init(
+            jax.random.PRNGKey(args.seed), model_cfg))
+        print(f"loaded checkpoint: {ckpt}")
+    else:
+        from vit_grid_model_tpu.models.metnet3 import metnet3_init
+
+        if args.checkpoint is not None:
+            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
+        print(f"checkpoint {ckpt} not found; using random init "
+              "(synthetic smoke mode)")
+        params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
+    return params
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.gpus == "cpu":
@@ -125,29 +158,7 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
         use_pallas_attention=args.fast)
 
-    ckpt = args.checkpoint or f"check_points/{args.model_name}.pkt"
-    if os.path.exists(ckpt) and ckpt.endswith(".pkt"):
-        from vit_grid_model_tpu.core.torch_import import convert_checkpoint
-
-        params = convert_checkpoint(ckpt, model_cfg)
-        print(f"loaded torch checkpoint: {ckpt}")
-    elif os.path.isdir(ckpt) or ckpt.endswith(".npz"):
-        if not os.path.exists(ckpt):
-            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
-        from vit_grid_model_tpu.core.checkpoint import restore_params
-        from vit_grid_model_tpu.models.metnet3 import metnet3_init
-
-        params = restore_params(ckpt, metnet3_init(
-            jax.random.PRNGKey(args.seed), model_cfg))
-        print(f"loaded checkpoint: {ckpt}")
-    else:
-        from vit_grid_model_tpu.models.metnet3 import metnet3_init
-
-        if args.checkpoint is not None:
-            raise FileNotFoundError(f"checkpoint not found: {ckpt}")
-        print(f"checkpoint {ckpt} not found; using random init "
-              "(synthetic smoke mode)")
-        params = metnet3_init(jax.random.PRNGKey(args.seed), model_cfg)
+    params = load_model_params(args, model_cfg)
 
     mesh = None
     if args.data_parallel != 1:

@@ -76,6 +76,26 @@ class StationMetrics:
         }
 
 
+def write_station_log(f, metrics: "StationMetrics",
+                      args_repr: str = "") -> None:
+    """Reference-style scalar metric block (the ``'{:.4f}'`` line format of
+    ``evaluation_vit.py:635-692``) for the station-wise scores, so the
+    by_stn workflow logs diff like the grid eval does."""
+    if args_repr:
+        f.write(args_repr)
+        f.write("\n")
+    s = metrics.summary()
+    f.write(f"station model total ACC: {s['ACC']:.4f}\n")
+    f.write(f"station model total POD: {s['POD']:.4f}\n")
+    f.write(f"station model total FAR: {s['FAR']:.4f}\n")
+    f.write(f"station model total F1 score: {s['F1']:.4f}\n")
+    f.write(f"station model MAE: {s['MAE']:.4f}\n")
+    f.write(f"station model RMSE: {s['RMSE']:.4f}\n")
+    f.write(f"station model R: {s['R']:.4f}\n")
+    f.write(f"station model n_obs: {s['n_obs']}\n")
+    f.flush()
+
+
 def evaluate_by_station(params, model_cfg: MetNet3Config,
                         data_cfg: DataConfig, *,
                         test_start: datetime, test_end: datetime,
