@@ -26,6 +26,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TORCH_CPU_FIELDS_PER_SEC = 1.233     # measured, see module docstring
 TARGET_MULTIPLIER = 10.0
 
+# TPU v5e (v5 lite) peaks: 197 TFLOP/s bf16 / 394 TOP/s int8, 819 GB/s HBM
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_F32_TFLOPS = 98.5           # f32 runs the MXU at half rate
+V5E_HBM_GBPS = 819.0
+
+
+def model_cost(cfg, B, precision):
+    """Analytic (HLO-derived) FLOPs and HBM bytes of ONE forward at batch B.
+
+    Counted on the pure-XLA lowering of the same config with Pallas off —
+    the kernel computes identical math but hides its FLOPs from HLO cost
+    analysis behind a custom call.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_grid_model_tpu.models.metnet3 import metnet3_apply, metnet3_init
+
+    cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False)
+
+    # the axon backend returns no cost model from lower(); the HLO flop
+    # count is backend-independent, so lower on the CPU backend instead.
+    # 'bytes accessed' comes from the UNFUSED HLO — an upper bound on real
+    # HBM traffic (XLA fusion removes most intermediate round-trips).
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = metnet3_init(jax.random.PRNGKey(0), cfg_xla)
+        x = jnp.zeros((B, 25, 24, 82, 67))
+        ts = jnp.zeros((B, 25, 4))
+
+        def forward(p, xx, tt):
+            with jax.default_matmul_precision(precision):
+                return metnet3_apply(p, xx, tt, cfg_xla)
+
+        cost = jax.jit(forward).lower(params, x, ts).cost_analysis()
+    return float(cost.get("flops", 0.0)), float(
+        cost.get("bytes accessed", 0.0))
+
 
 def measure_torch_cpu() -> float:
     import types
@@ -58,7 +97,7 @@ def measure_torch_cpu() -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)   # sweep optimum (RESULTS.md)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["float32", "bfloat16"])
@@ -118,12 +157,25 @@ def main():
     dt = (time.time() - t0) / (3 * n_chain)
     fields_per_sec = B * cfg.end_lead_time / dt
 
+    # MFU + roofline position from the HLO cost model of the same math
+    flops, hbm_bytes = model_cost(cfg, B, args.precision)
+    tflops = flops / dt / 1e12
+    peak = (V5E_PEAK_BF16_TFLOPS if args.dtype == "bfloat16"
+            else V5E_PEAK_F32_TFLOPS)
+
     baseline = TORCH_CPU_FIELDS_PER_SEC * TARGET_MULTIPLIER
     print(json.dumps({
         "metric": "grid_fields_per_sec_per_chip_12hr_maxvit_infer",
         "value": round(fields_per_sec, 2),
         "unit": "fields/sec",
         "vs_baseline": round(fields_per_sec / baseline, 2),
+        "mfu": round(tflops / peak, 4),
+        "tflops_per_sec": round(tflops, 2),
+        "gflops_per_field": round(flops / (B * cfg.end_lead_time) / 1e9, 2),
+        # UNFUSED-HLO byte count: an upper bound on HBM traffic (XLA fusion
+        # removes most intermediate round-trips); see docs/RESULTS.md roofline
+        "unfused_intensity_flop_per_byte": round(
+            flops / max(hbm_bytes, 1.0), 1),
     }))
 
 
