@@ -18,7 +18,8 @@ def _run_pallas_interpret(p, x, cond, bias_idx, heads, wps):
     from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
 
     with pltpu.force_tpu_interpret_mode():
-        return window_attention_pallas(p, x, cond, bias_idx, heads, wps)
+        return window_attention_pallas(p, x, cond, bias_idx, None, heads,
+                                       wps)
 
 
 @pytest.mark.parametrize("n,heads,dim_head,dim", [
@@ -62,7 +63,7 @@ def test_pallas_gradients_match_xla():
 
     def loss_pl(pp, xx):
         return jnp.sum(window_attention_pallas(pp, xx, cond, bias_idx,
-                                               4, 3) ** 2)
+                                               None, 4, 3) ** 2)
 
     g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
     with pltpu.force_tpu_interpret_mode():
@@ -106,7 +107,7 @@ def test_pallas_gradients_match_xla_bf16():
     with pltpu.force_tpu_interpret_mode():
         _, vjp_pl = jax.vjp(
             lambda pp, xx: window_attention_pallas(pp, xx, cond, bias_idx,
-                                                   4, 3), p, x)
+                                                   None, 4, 3), p, x)
         g_pl = vjp_pl(g)
     for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a, np.float32),
@@ -153,6 +154,82 @@ def test_short_train_pallas_matches_xla_loss_curve():
     with pltpu.force_tpu_interpret_mode():
         got = run(True)
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_pallas_dropout_mask_matches_xla():
+    """Attention dropout in the kernel: an externally-sampled pre-scaled
+    keep mask gives the same forward AND gradients as the masked XLA path
+    (the mask is shared, so the XLA-recompute backward is consistent)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
+
+    key = jax.random.PRNGKey(0)
+    p = attention_init(key, 32, cond_dim=2, heads=4, dim_head=8,
+                       window_size=7, num_registers=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2))
+    bias_idx = relative_position_indices(7, 4)
+    rate = 0.25
+    keep = jax.random.bernoulli(jax.random.PRNGKey(3), 1 - rate,
+                                (6, 4, 53, 53))
+    dmask = keep.astype(jnp.float32) / (1 - rate)
+
+    ref = attention(p, x, cond, bias_idx, heads=4, windows_per_sample=3,
+                    dropout_mask=dmask)
+    with pltpu.force_tpu_interpret_mode():
+        ours = window_attention_pallas(p, x, cond, bias_idx, dmask, 4, 3)
+    rel = np.abs(np.asarray(ours) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 2e-5, rel
+
+    def loss_xla(pp, xx):
+        return jnp.sum(attention(pp, xx, cond, bias_idx, heads=4,
+                                 windows_per_sample=3,
+                                 dropout_mask=dmask) ** 2)
+
+    def loss_pl(pp, xx):
+        return jnp.sum(window_attention_pallas(pp, xx, cond, bias_idx,
+                                               dmask, 4, 3) ** 2)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_train_step_pallas_with_dropout_runs():
+    """With dropout > 0 the training path now keeps the Pallas kernel (mask
+    sampled outside): one step runs and produces a finite loss."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
+    from vit_grid_model_tpu.models.metnet3 import metnet3_init
+    from vit_grid_model_tpu.train.trainer import (build_train_step,
+                                                  init_train_state)
+
+    cfg = MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
+                        end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                        n_heads=4, dim_head=4, dropout=0.1,
+                        use_pallas_attention=True)
+    tc = TrainConfig(learning_rate=1e-3, total_steps=2, warmup_steps=1,
+                     batch_size=1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.random((1, 3, 24, 82, 67), dtype=np.float32) * 50,
+        "timestamps": np.tile(np.asarray([2023., 1., 15., 6.], np.float32),
+                              (1, 7, 1)),
+        "targets": rng.random((1, 2, 82, 67), dtype=np.float32) * 60,
+    }
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, tc)
+    step = build_train_step(cfg, tc)
+    with pltpu.force_tpu_interpret_mode():
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
 
 
 def test_pallas_unconditioned_ln_affine():

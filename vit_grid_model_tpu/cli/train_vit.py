@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focal_gamma", type=float, default=1.0)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="attention/mbconv dropout rate (reference default)")
+    p.add_argument("--use_pallas_attention", action="store_true",
+                   help="fused Pallas window attention in the train step; "
+                        "attention dropout rides the kernel as an "
+                        "externally-sampled mask")
+    p.add_argument("--fast", action="store_true",
+                   help="throughput mode: bf16 + Pallas attention")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
     p.add_argument("--checkpoint_dir", type=str, default="check_points")
@@ -115,11 +123,15 @@ def main(argv=None) -> None:
 
     feat_infos = eval_driver.load_feat_infos(args.data_path)
     stations = eval_driver.load_stations(args.data_path)
+    if args.fast:
+        args.compute_dtype = "bfloat16"
+        args.use_pallas_attention = True
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, dropout=args.dropout,
+        use_pallas_attention=args.use_pallas_attention)
     train_cfg = TrainConfig(
         learning_rate=args.lr, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, total_steps=args.steps,

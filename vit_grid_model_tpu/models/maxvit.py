@@ -93,16 +93,25 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
                     nwin: int, *, training: bool, key: Optional[Array]):
     """Run one attention over packed (registers ++ window tokens)."""
     tokens = jnp.concatenate([registers, xw], axis=1)   # (bw, nr + n, d)
-    # the fused kernel has no attention dropout: use it for inference (and
-    # for training only when dropout is disabled); grads flow through its
-    # custom VJP (XLA-recompute backward)
-    use_pallas = spec.use_pallas and (not training or spec.dropout == 0.0)
+    # training-time attention dropout rides the kernel as a pre-scaled keep
+    # mask sampled OUTSIDE (the kernel's XLA-recompute backward then applies
+    # the identical mask); grads flow through the custom VJP
+    use_pallas = spec.use_pallas and (not training or spec.dropout == 0.0
+                                      or key is not None)
     if use_pallas:
         from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
 
+        dmask = None
+        if training and spec.dropout > 0.0 and key is not None:
+            n_tok = tokens.shape[1]
+            keep = jax.random.bernoulli(
+                key, 1.0 - spec.dropout,
+                (tokens.shape[0], spec.heads, n_tok, n_tok))
+            dmask = (keep.astype(jnp.float32)
+                     / (1.0 - spec.dropout)).astype(tokens.dtype)
         # positional call: custom_vjp functions reject keyword arguments
         out = window_attention_pallas(
-            layer_p[which], tokens, cond, bias_idx, spec.heads, nwin)
+            layer_p[which], tokens, cond, bias_idx, dmask, spec.heads, nwin)
     else:
         out = attention(
             layer_p[which], tokens, cond, bias_idx, heads=spec.heads,
