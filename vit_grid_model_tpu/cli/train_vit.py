@@ -43,11 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", type=float, default=0.1,
                    help="attention/mbconv dropout rate (reference default)")
     p.add_argument("--use_pallas_attention", action="store_true",
-                   help="fused Pallas window attention in the train step; "
-                        "attention dropout rides the kernel as an "
-                        "externally-sampled mask")
+                   help="fused Pallas window attention in the train step "
+                        "(attention dropout rides the kernel as an "
+                        "externally-sampled mask). NOTE: measured SLOWER "
+                        "for training at flagship config (6.1 vs 3.5 s/step "
+                        "B=4) — the custom-VJP recomputes the XLA forward "
+                        "that the pure-XLA path gets from saved residuals; "
+                        "the kernel's 2.7x win is inference-only")
     p.add_argument("--fast", action="store_true",
-                   help="throughput mode: bf16 + Pallas attention")
+                   help="throughput mode for training: bf16 (Pallas "
+                        "attention deliberately NOT enabled — see "
+                        "--use_pallas_attention)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
     p.add_argument("--checkpoint_dir", type=str, default="check_points")
@@ -125,7 +131,6 @@ def main(argv=None) -> None:
     stations = eval_driver.load_stations(args.data_path)
     if args.fast:
         args.compute_dtype = "bfloat16"
-        args.use_pallas_attention = True
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,

@@ -105,16 +105,29 @@ def load_feat_infos(data_path: str) -> Dict[str, Tuple[float, float]]:
     return out
 
 
-def load_ground_obs(data_path: str, times, total_stn: int, feat_dim: int):
+def load_ground_obs(data_path: str, times, total_stn: int, feat_dim: int,
+                    num_threads: int = 8):
     """Hourly station obs -> (T, stations, feat_dim) + mask
-    (``evaluation_vit.py:124-133``)."""
+    (``evaluation_vit.py:124-133``).
+
+    The reference reads the ~2.2k hourly files serially (its hot loop #0,
+    SURVEY §3.1); here a thread pool overlaps the IO (np.load drops the GIL
+    during the read) — results are written by index, so ordering is exact.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     feat = np.zeros((len(times), total_stn, feat_dim), dtype=np.float32)
     mask = np.zeros((len(times), total_stn), dtype=np.float32)
-    for i, t in enumerate(times):
+
+    def one(i_t):
+        i, t = i_t
         arr = np.load(f"{data_path}/ground_obs/{t.year}/{t.month}/"
                       + t.strftime("%d%H") + ".npy")
         feat[i] = arr[:, :feat_dim]
         mask[i] = arr[:, -1]
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        list(pool.map(one, enumerate(times)))
     return feat, mask
 
 
