@@ -45,11 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas_attention", action="store_true",
                    help="fused Pallas window attention in the train step "
                         "(attention dropout rides the kernel as an "
-                        "externally-sampled mask). NOTE: measured SLOWER "
-                        "for training at flagship config (6.1 vs 3.5 s/step "
-                        "B=4) — the custom-VJP recomputes the XLA forward "
-                        "that the pure-XLA path gets from saved residuals; "
-                        "the kernel's 2.7x win is inference-only")
+                        "externally-sampled mask). NOTE: measured ~36% "
+                        "SLOWER for training at flagship config (245 vs "
+                        "180 ms/step B=4 steady state) — the custom-VJP "
+                        "recomputes the XLA forward that the pure-XLA path "
+                        "gets from saved residuals; the kernel's 2.7x win "
+                        "is inference-only unless memory-bound")
     p.add_argument("--fast", action="store_true",
                    help="throughput mode for training: bf16 (Pallas "
                         "attention deliberately NOT enabled — see "
