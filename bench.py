@@ -49,13 +49,16 @@ def model_cost(cfg, B, precision):
     cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False)
 
     # the axon backend returns no cost model from lower(); the HLO flop
-    # count is backend-independent, so lower on the CPU backend instead.
+    # count is backend-independent, so lower on the CPU backend instead —
+    # abstract shapes only (no real arrays or init compute are needed).
     # 'bytes accessed' comes from the UNFUSED HLO — an upper bound on real
     # HBM traffic (XLA fusion removes most intermediate round-trips).
     with jax.default_device(jax.devices("cpu")[0]):
-        params = metnet3_init(jax.random.PRNGKey(0), cfg_xla)
-        x = jnp.zeros((B, 25, 24, 82, 67))
-        ts = jnp.zeros((B, 25, 4))
+        params = jax.eval_shape(
+            lambda k: metnet3_init(k, cfg_xla),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+        x = jax.ShapeDtypeStruct((B, 25, 24, 82, 67), jnp.float32)
+        ts = jax.ShapeDtypeStruct((B, 25, 4), jnp.float32)
 
         def forward(p, xx, tt):
             with jax.default_matmul_precision(precision):

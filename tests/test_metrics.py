@@ -170,3 +170,15 @@ def test_log_line_labels_match_golden_log():
     # line 0 is the argparse Namespace repr (content naturally differs)
     for i, (a, b) in enumerate(zip(ours[1:], golden[1:]), start=1):
         assert label(a) == label(b), f"line {i}: {a!r} vs {b!r}"
+
+
+def test_f1_empty_event_classes_yields_nan_not_crash():
+    """Review fix: pod=0 and far=1 (all high-class predictions wrong, no
+    high-class hits) must produce the reference's quiet 0/0 NaN, not a
+    Python ZeroDivisionError."""
+    from vit_grid_model_tpu.evaluation.metrics import HIGH, PredictorStats
+
+    s = PredictorStats(output_dim=2)
+    s.confusion[0, HIGH] = 3     # truth high, predicted low  -> pod = 0
+    s.confusion[HIGH, 0] = 2     # predicted high, truth low  -> far = 1
+    assert np.isnan(s.f1())

@@ -84,3 +84,11 @@ def test_device_prefetch_order_and_laziness():
     assert out == [10, 20, 30]
     assert puts == [1, 2, 3]
     assert list(device_prefetch(iter([]), put)) == []
+
+
+def test_mesh_subset_of_devices():
+    """Review fix: --data_parallel k for k < device count builds a k-device
+    sub-mesh instead of failing the coverage check."""
+    devs = jax.devices()[:2]
+    mesh = meshlib.make_mesh(MeshConfig(data=2, model=1), devices=devs)
+    assert dict(mesh.shape) == {"data": 2, "model": 1}

@@ -73,6 +73,61 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def force_cpu_backend(args) -> None:
+    """``--gpus cpu`` compat: force + verify the CPU backend (env vars are
+    pre-empted when a platform plugin registered itself at startup)."""
+    if args.gpus != "cpu":
+        return
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if any(d.platform != "cpu" for d in jax.devices()):
+        raise RuntimeError("--gpus cpu requested but the CPU backend "
+                           "could not be selected")
+
+
+def build_configs(args):
+    """Shared post-parse setup for the eval CLIs: synthetic-tree generation,
+    DataConfig, --fast dtype/precision coupling, and the MetNet3Config.
+    Mutates ``args`` (paths, compute_dtype, precision) like main() always
+    did.  Returns (data_cfg, model_cfg, test_start, test_end)."""
+    from vit_grid_model_tpu.core.config import (DataConfig, GridConfig,
+                                                MetNet3Config)
+    from vit_grid_model_tpu.evaluation import driver
+
+    test_start = datetime.fromisoformat(args.test_start)
+    test_end = datetime.fromisoformat(args.test_end)
+
+    if args.synthetic:
+        from vit_grid_model_tpu.data import synthetic
+
+        paths = synthetic.generate_tree(
+            args.synthetic_root, test_start, test_end,
+            prev_len=args.prev_len, output_dim=args.output_dim)
+        args.data_path = paths["data_path"]
+        args.sim_data_path = paths["sim_data_path"]
+        args.analysis_data_path = paths["analysis_data_path"]
+
+    data_cfg = DataConfig(
+        input_dim=args.input_dim, output_dim=args.output_dim,
+        prev_len=args.prev_len, feat_dim=args.feat_dim, grid=GridConfig(),
+        data_path=args.data_path, sim_data_path=args.sim_data_path,
+        analysis_data_path=args.analysis_data_path)
+
+    feat_infos = driver.load_feat_infos(args.data_path)
+    if args.fast:
+        args.compute_dtype = "bfloat16"
+        args.precision = "default"
+    model_cfg = MetNet3Config(
+        window_size=args.input_dim + args.output_dim, n_variables=24,
+        n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
+        pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
+        compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
+        use_pallas_attention=args.fast)
+    return data_cfg, model_cfg, test_start, test_end
+
+
 def load_model_params(args, model_cfg):
     """Resolve the checkpoint the reference way (``evaluation_vit.py:109``:
     ``check_points/{model_name}.pkt``): torch ``.pkt`` -> converter, orbax
@@ -108,56 +163,15 @@ def load_model_params(args, model_cfg):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.gpus == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    force_cpu_backend(args)
 
     import jax
-
-    if args.gpus == "cpu":
-        # env vars are pre-empted when a platform plugin registered itself
-        # at interpreter startup; force at the config layer and verify —
-        # silently running the accelerator would produce non-parity numbers
-        jax.config.update("jax_platforms", "cpu")
-        if any(d.platform != "cpu" for d in jax.devices()):
-            raise RuntimeError("--gpus cpu requested but the CPU backend "
-                               "could not be selected")
     import numpy as np
 
-    from vit_grid_model_tpu.core.config import DataConfig, GridConfig, MetNet3Config
     from vit_grid_model_tpu.evaluation import driver
 
     np.random.seed(args.seed)
-
-    test_start = datetime.fromisoformat(args.test_start)
-    test_end = datetime.fromisoformat(args.test_end)
-
-    if args.synthetic:
-        from vit_grid_model_tpu.data import synthetic
-
-        paths = synthetic.generate_tree(
-            args.synthetic_root, test_start, test_end,
-            prev_len=args.prev_len, output_dim=args.output_dim)
-        args.data_path = paths["data_path"]
-        args.sim_data_path = paths["sim_data_path"]
-        args.analysis_data_path = paths["analysis_data_path"]
-
-    data_cfg = DataConfig(
-        input_dim=args.input_dim, output_dim=args.output_dim,
-        prev_len=args.prev_len, feat_dim=args.feat_dim, grid=GridConfig(),
-        data_path=args.data_path, sim_data_path=args.sim_data_path,
-        analysis_data_path=args.analysis_data_path)
-
-    feat_infos = driver.load_feat_infos(args.data_path)
-    if args.fast:
-        args.compute_dtype = "bfloat16"
-        args.precision = "default"
-    model_cfg = MetNet3Config(
-        window_size=args.input_dim + args.output_dim, n_variables=24,
-        n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
-        pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
-        compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
-        use_pallas_attention=args.fast)
-
+    data_cfg, model_cfg, test_start, test_end = build_configs(args)
     params = load_model_params(args, model_cfg)
 
     mesh = None
@@ -165,7 +179,11 @@ def main(argv=None) -> None:
         from vit_grid_model_tpu.core.config import MeshConfig
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
-        mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1))
+        # a positive k < device count means "use a k-device subset"
+        devs = (jax.devices()[:args.data_parallel]
+                if args.data_parallel > 0 else None)
+        mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1),
+                                 devices=devs)
         print(f"mesh: {dict(mesh.shape)}")
 
     print(f"devices: {jax.devices()}")

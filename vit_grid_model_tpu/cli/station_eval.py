@@ -15,7 +15,6 @@ station eval by swapping the module name.
 from __future__ import annotations
 
 import os
-from datetime import datetime
 
 
 def build_parser():
@@ -28,57 +27,37 @@ def build_parser():
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.gpus == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if args.collect_valid_times:
+        raise SystemExit("--collect_valid_times is a grid-eval quirk "
+                         "(evaluation_vit.py:285-289); the station eval has "
+                         "no valid-times bookkeeping")
+
+    from vit_grid_model_tpu.cli.evaluation_vit import (build_configs,
+                                                       force_cpu_backend,
+                                                       load_model_params)
+
+    force_cpu_backend(args)
 
     import jax
-
-    if args.gpus == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        if any(d.platform != "cpu" for d in jax.devices()):
-            raise RuntimeError("--gpus cpu requested but the CPU backend "
-                               "could not be selected")
     import numpy as np
 
-    from vit_grid_model_tpu.cli.evaluation_vit import load_model_params
-    from vit_grid_model_tpu.core.config import (DataConfig, GridConfig,
-                                                MetNet3Config)
-    from vit_grid_model_tpu.evaluation import driver as eval_driver
     from vit_grid_model_tpu.evaluation.station_eval import (
         evaluate_by_station, write_station_log)
 
     np.random.seed(args.seed)
-    test_start = datetime.fromisoformat(args.test_start)
-    test_end = datetime.fromisoformat(args.test_end)
-
-    if args.synthetic:
-        from vit_grid_model_tpu.data import synthetic
-
-        paths = synthetic.generate_tree(
-            args.synthetic_root, test_start, test_end,
-            prev_len=args.prev_len, output_dim=args.output_dim)
-        args.data_path = paths["data_path"]
-        args.sim_data_path = paths["sim_data_path"]
-        args.analysis_data_path = paths["analysis_data_path"]
-
-    data_cfg = DataConfig(
-        input_dim=args.input_dim, output_dim=args.output_dim,
-        prev_len=args.prev_len, feat_dim=args.feat_dim, grid=GridConfig(),
-        data_path=args.data_path, sim_data_path=args.sim_data_path,
-        analysis_data_path=args.analysis_data_path)
-
-    feat_infos = eval_driver.load_feat_infos(args.data_path)
-    if args.fast:
-        args.compute_dtype = "bfloat16"
-        args.precision = "default"
-    model_cfg = MetNet3Config(
-        window_size=args.input_dim + args.output_dim, n_variables=24,
-        n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
-        pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
-        compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
-        use_pallas_attention=args.fast)
-
+    data_cfg, model_cfg, test_start, test_end = build_configs(args)
     params = load_model_params(args, model_cfg)
+
+    mesh = None
+    if args.data_parallel != 1:
+        from vit_grid_model_tpu.core.config import MeshConfig
+        from vit_grid_model_tpu.parallel import mesh as meshlib
+
+        devs = (jax.devices()[:args.data_parallel]
+                if args.data_parallel > 0 else None)
+        mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1),
+                                 devices=devs)
+        print(f"mesh: {dict(mesh.shape)}")
     print(f"devices: {jax.devices()}")
     print(args)
 
@@ -86,7 +65,7 @@ def main(argv=None) -> None:
         params, model_cfg, data_cfg, test_start=test_start,
         test_end=test_end, batch_size=args.batch_size,
         num_workers=args.num_workers, matmul_precision=args.precision,
-        max_batches=args.max_batches)
+        max_batches=args.max_batches, mesh=mesh)
 
     name = (args.model_name or "model") + "_by_stn"
     os.makedirs(args.log_dir, exist_ok=True)

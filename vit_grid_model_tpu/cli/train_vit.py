@@ -63,8 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--resume", type=str, default=None,
                    help="a *_state.npz resumes the FULL train state "
-                        "(optimizer moments, schedule step, PRNG, EMA); a "
-                        "params checkpoint restores weights only")
+                        "(optimizer moments, schedule step, PRNG, EMA) and "
+                        "reseeds the shuffled data stream past consumed "
+                        "batches; a params checkpoint restores weights only")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="exponential-moving-average decay for an EMA copy "
                         "of the params (0 disables); saved alongside as "
@@ -181,8 +182,11 @@ def main(argv=None) -> None:
         from vit_grid_model_tpu.core.config import MeshConfig
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
+        # a positive k < device count means "use a k-device subset"
+        devs = (jax.devices()[:args.data_parallel]
+                if args.data_parallel > 0 else None)
         mesh = meshlib.make_mesh(
-            MeshConfig(data=args.data_parallel, model=1))
+            MeshConfig(data=args.data_parallel, model=1), devices=devs)
         if args.batch_size % mesh.shape["data"] != 0:
             raise ValueError("batch_size must divide over the data axis")
         state = jax.device_put(state, meshlib.replicated(mesh))
@@ -192,8 +196,14 @@ def main(argv=None) -> None:
     ckpt_base = os.path.join(args.checkpoint_dir, args.model_name)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
 
+    # Resume must not re-feed batches the interrupted run already consumed:
+    # fold the restored step into the shuffle seed so the resumed stream is
+    # fresh data (exact index-level continuation would require assembling
+    # and discarding `step` full batches — far costlier than the epoch-order
+    # difference it would buy on an effectively-infinite shuffled stream).
     batches = batches_from_dataset(dataset, data_cfg, args.batch_size,
-                                   args.num_workers, args.seed)
+                                   args.num_workers,
+                                   args.seed + int(state.step))
     # overlap host->HBM transfer with the previous step's compute
     from vit_grid_model_tpu.data.pipeline import device_prefetch
 

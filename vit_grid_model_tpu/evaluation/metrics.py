@@ -156,8 +156,11 @@ class PredictorStats:
             return float(num / den)
 
     def f1(self, eps: float = 0.0) -> float:
-        pod, far = self.pod(eps), self.far(eps)
-        with np.errstate(invalid="ignore"):
+        # numpy scalars, not Python floats: 0/0 must be the reference's
+        # quiet NaN (Python float division would raise ZeroDivisionError)
+        pod = np.float64(self.pod(eps))
+        far = np.float64(self.far(eps))
+        with np.errstate(invalid="ignore", divide="ignore"):
             return float(2 * (pod * (1 - far)) / (pod + (1 - far)))
 
     def mae(self) -> float:

@@ -101,7 +101,8 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
                         test_start: datetime, test_end: datetime,
                         batch_size: int = 8, num_workers: int = 4,
                         matmul_precision: str = "highest",
-                        max_batches: Optional[int] = None) -> StationMetrics:
+                        max_batches: Optional[int] = None,
+                        mesh=None) -> StationMetrics:
     grid = data_cfg.grid
     feat_infos = eval_driver.load_feat_infos(data_cfg.data_path)
     stations = eval_driver.load_stations(data_cfg.data_path,
@@ -130,6 +131,14 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
             return metnet3_apply(p, x, ts, model_cfg)
 
     fwd = jax.jit(forward)
+    n_data = 1
+    batch_shd = None
+    if mesh is not None:
+        from vit_grid_model_tpu.parallel import mesh as meshlib
+
+        n_data = mesh.shape["data"]
+        batch_shd = meshlib.batch_sharding(mesh)
+        params = jax.device_put(params, meshlib.replicated(mesh))
     metrics = StationMetrics()
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
@@ -137,8 +146,11 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
         (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
          stn_cls) = batch
         x = sim_stack_to_model_input(sim, data_cfg.total_steps)
-        preds = np.asarray(fwd(params, jnp.asarray(x),
-                               jnp.asarray(raw_times)))
+        xj, tj = jnp.asarray(x), jnp.asarray(raw_times)
+        if batch_shd is not None and xj.shape[0] % n_data == 0:
+            xj = jax.device_put(xj, batch_shd)
+            tj = jax.device_put(tj, batch_shd)
+        preds = np.asarray(fwd(params, xj, tj))
         preds = np.maximum(preds, 0.0)   # eval clamp (evaluation_vit.py:254)
         del stn_cls   # -1 at valid stations (see StationMetrics.update)
         stn_preds = preds[:, :, rows, cols]          # (B, L, korea)

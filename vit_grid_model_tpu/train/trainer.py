@@ -172,14 +172,12 @@ def train_loop(state: TrainState, batches: Iterable, step_fn: Callable, *,
         if max_steps is not None and i >= max_steps:
             break
         state, metrics = step_fn(state, batch)
-        # Per-step host sync on the loss: one small readback, standard
-        # trainer practice — and it keeps the logged steps/s honest on rigs
-        # (like the axon relay) where dispatch outruns execution.
-        loss = float(metrics["loss"])
         if i % log_every == 0:
+            # the readback waits on every prior step via data dependence,
+            # so the logged steps/s stays honest without a per-step sync
             m = {k: float(v) for k, v in metrics.items()}
             rate = (i + 1) / (time.time() - t0)
-            log(f"step {int(state.step)}: loss={loss:.4f} "
+            log(f"step {int(state.step)}: loss={m['loss']:.4f} "
                 f"rmse={m['rmse']:.3f} gnorm={m['grad_norm']:.3f} "
                 f"({rate:.2f} steps/s)")
     return state
