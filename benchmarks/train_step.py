@@ -1,0 +1,84 @@
+"""Flagship train-step benchmark: XLA vs Pallas-forward vs Pallas fused-bwd.
+
+Measures the steady-state training step (hidden 128, 13 -> 12 leads, bf16,
+dropout 0.1 — the shipped 12hr architecture with the reconstructed Focal-R
+trainer, SURVEY.md §3.5) under the three attention configurations.  Axon-rig
+hazards handled per docs/RESULTS.md: the batch is staged on device first,
+the first ~6 post-compile executions are discarded (lazy-upload warmup), and
+the timing window is closed by a host readback of the loss (data-dependent
+on every step, so no per-step sync is needed).
+
+Usage:  PYTHONPATH=. python benchmarks/train_step.py [--batch 4] [--steps 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
+from vit_grid_model_tpu.models.metnet3 import metnet3_init
+from vit_grid_model_tpu.train.trainer import build_train_step, init_train_state
+
+MODES = ("xla", "pallas_fwd", "pallas_fused_bwd")
+
+
+def run(batch_size: int, steps: int, warmup: int = 6):
+    rng = np.random.default_rng(0)
+    batch_host = {
+        "x": rng.random((batch_size, 13, 24, 82, 67), dtype=np.float32) * 50,
+        "timestamps": np.tile(
+            np.asarray([2023.0, 1.0, 15.0, 6.0], np.float32),
+            (batch_size, 25, 1)),
+        "targets": rng.random((batch_size, 12, 82, 67), dtype=np.float32) * 60,
+    }
+    results = {}
+    for mode in MODES:
+        cfg = MetNet3Config(
+            window_size=13, n_variables=24, n_start_channels=128,
+            end_lead_time=12, pm25_mean=22.5, pm25_std=15.5, dropout=0.1,
+            compute_dtype="bfloat16",
+            use_pallas_attention=(mode != "xla"),
+            use_pallas_attention_bwd=(mode == "pallas_fused_bwd"))
+        tc = TrainConfig(learning_rate=1e-4, total_steps=1000,
+                         warmup_steps=10, batch_size=batch_size)
+        params = metnet3_init(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(jax.tree.map(jnp.asarray, params), tc)
+        step = build_train_step(cfg, tc)
+        batch = jax.device_put(batch_host)
+        jax.block_until_ready(batch)
+        _ = float(batch["x"].sum())  # force the upload through the tunnel
+
+        for _ in range(warmup):
+            state, m = step(state, batch)
+        _ = float(m["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step(state, batch)
+        loss = float(m["loss"])
+        ms = (time.perf_counter() - t0) / steps * 1e3
+        results[mode] = ms
+        print(f"{mode:18s}: {ms:7.1f} ms/step "
+              f"({batch_size / (ms / 1e3):5.1f} samples/s)  loss={loss:.4f}",
+              flush=True)
+    print(json.dumps({
+        "metric": "train_ms_per_step", "batch": batch_size,
+        **{k: round(v, 1) for k, v in results.items()},
+        "fused_bwd_speedup_vs_xla": round(
+            results["xla"] / results["pallas_fused_bwd"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+    print("devices:", jax.devices(), flush=True)
+    run(args.batch, args.steps)

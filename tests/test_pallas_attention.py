@@ -232,6 +232,143 @@ def test_train_step_pallas_with_dropout_runs():
     assert int(state.step) == 1
 
 
+def _fused_grad_compare(p, x, cond, dmask, heads, wps, rtol, atol=1e-5):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import (
+        window_attention_pallas_fused)
+
+    bias_idx = relative_position_indices(7, 4)
+
+    def loss_xla(pp, xx):
+        return jnp.sum(attention(pp, xx, cond, bias_idx, heads=heads,
+                                 windows_per_sample=wps,
+                                 dropout_mask=dmask) ** 2)
+
+    def loss_pl(pp, xx):
+        return jnp.sum(window_attention_pallas_fused(
+            pp, xx, cond, bias_idx, dmask, heads, wps) ** 2)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+
+
+def test_pallas_fused_bwd_gradients_match_xla():
+    """The fused Pallas BACKWARD kernel (flash-style in-VMEM recompute)
+    produces the same grads as the XLA path — every param leaf, x and
+    cond."""
+    p = attention_init(jax.random.PRNGKey(0), 32, cond_dim=2, heads=4,
+                       dim_head=8, window_size=7, num_registers=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2))
+    _fused_grad_compare(p, x, cond, None, 4, 3, rtol=5e-4)
+
+
+def test_pallas_fused_bwd_dropout_mask():
+    """Fused backward with an externally-sampled attention-dropout mask."""
+    p = attention_init(jax.random.PRNGKey(0), 32, cond_dim=2, heads=4,
+                       dim_head=8, window_size=7, num_registers=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2))
+    keep = jax.random.bernoulli(jax.random.PRNGKey(3), 0.75, (6, 4, 53, 53))
+    dmask = keep.astype(jnp.float32) / 0.75
+    _fused_grad_compare(p, x, cond, dmask, 4, 3, rtol=5e-4)
+
+
+def test_pallas_fused_bwd_unconditioned_affine():
+    """Fused backward routes LN-affine grads correctly when there is no
+    FiLM conditioning (g/b ride the FiLM slot in the kernel)."""
+    p = attention_init(jax.random.PRNGKey(0), 32, cond_dim=None, heads=4,
+                       dim_head=8, window_size=7, num_registers=4)
+    p["norm"]["g"] = p["norm"]["g"] * 1.7 + 0.1
+    p["norm"]["b"] = p["norm"]["b"] + 0.3
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    _fused_grad_compare(p, x, None, None, 4, 3, rtol=5e-4)
+
+
+def test_pallas_fused_bwd_bf16_close():
+    """bf16 fused-backward grads land within bf16 rounding of the XLA bf16
+    path (both paths round at different points, so the bound is ~bf16 eps,
+    not the f32 5e-4)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import (
+        window_attention_pallas_fused)
+
+    p = attention_init(jax.random.PRNGKey(0), 32, cond_dim=2, heads=4,
+                       dim_head=8, window_size=7, num_registers=4)
+    p = jax.tree.map(lambda t: t.astype(jnp.bfloat16)
+                     if t.dtype == jnp.float32 else t, p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32)
+                          ).astype(jnp.bfloat16)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2)
+                             ).astype(jnp.bfloat16)
+    bias_idx = relative_position_indices(7, 4)
+
+    def loss_xla(pp, xx):
+        return jnp.sum(attention(pp, xx, cond, bias_idx, heads=4,
+                                 windows_per_sample=3
+                                 ).astype(jnp.float32) ** 2)
+
+    def loss_pl(pp, xx):
+        return jnp.sum(window_attention_pallas_fused(
+            pp, xx, cond, bias_idx, None, 4, 3).astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 6e-2
+
+
+def test_short_train_fused_bwd_matches_xla_loss_curve():
+    """3 train steps of the full model with the fused Pallas backward match
+    the XLA-attention loss curve."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
+    from vit_grid_model_tpu.models.metnet3 import metnet3_init
+    from vit_grid_model_tpu.train.trainer import (build_train_step,
+                                                  init_train_state)
+
+    base = dict(window_size=3, n_variables=24, n_start_channels=16,
+                end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                n_heads=4, dim_head=4, dropout=0.0)
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_steps=1,
+                     batch_size=1)
+    rng = np.random.default_rng(0)
+    batches = [{
+        "x": rng.random((1, 3, 24, 82, 67), dtype=np.float32) * 50,
+        "timestamps": np.tile(np.asarray([2023., 1., 15., 6.], np.float32),
+                              (1, 7, 1)),
+        "targets": rng.random((1, 2, 82, 67), dtype=np.float32) * 60,
+    } for _ in range(3)]
+
+    def run(use_pallas, use_bwd):
+        cfg = MetNet3Config(**base, use_pallas_attention=use_pallas,
+                            use_pallas_attention_bwd=use_bwd)
+        params = metnet3_init(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(jax.tree.map(jnp.array, params), tc)
+        step = build_train_step(cfg, tc)
+        losses = []
+        for b in batches:
+            state, m = step(state, b)
+            losses.append(float(m["loss"]))
+        return losses
+
+    ref = run(False, False)
+    with pltpu.force_tpu_interpret_mode():
+        got = run(True, True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
 def test_pallas_unconditioned_ln_affine():
     """Without FiLM, the LN affine params must still apply (review fix)."""
     key = jax.random.PRNGKey(0)

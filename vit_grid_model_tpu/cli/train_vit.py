@@ -45,16 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas_attention", action="store_true",
                    help="fused Pallas window attention in the train step "
                         "(attention dropout rides the kernel as an "
-                        "externally-sampled mask). NOTE: measured ~36% "
-                        "SLOWER for training at flagship config (245 vs "
-                        "180 ms/step B=4 steady state) — the custom-VJP "
-                        "recomputes the XLA forward that the pure-XLA path "
-                        "gets from saved residuals; the kernel's 2.7x win "
-                        "is inference-only unless memory-bound")
+                        "externally-sampled mask). Combine with "
+                        "--use_pallas_attention_bwd: forward-only, the "
+                        "XLA-recompute VJP makes it a net LOSS for training "
+                        "(204.5 vs 143.9 ms/step XLA, flagship B=4 bf16)")
+    p.add_argument("--use_pallas_attention_bwd", action="store_true",
+                   help="with --use_pallas_attention: fused Pallas BACKWARD "
+                        "kernel (flash-style in-VMEM recompute) instead of "
+                        "the XLA-recompute VJP — measured 113.6 ms/step vs "
+                        "143.9 pure-XLA at flagship config (1.27x)")
     p.add_argument("--fast", action="store_true",
-                   help="throughput mode for training: bf16 (Pallas "
-                        "attention deliberately NOT enabled — see "
-                        "--use_pallas_attention)")
+                   help="throughput mode for training: bf16 + fused Pallas "
+                        "attention forward AND backward (the measured-best "
+                        "train config: 113.6 ms/step vs 143.9 XLA at "
+                        "flagship B=4)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
     p.add_argument("--checkpoint_dir", type=str, default="check_points")
@@ -133,12 +137,15 @@ def main(argv=None) -> None:
     stations = eval_driver.load_stations(args.data_path)
     if args.fast:
         args.compute_dtype = "bfloat16"
+        args.use_pallas_attention = True
+        args.use_pallas_attention_bwd = True
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, dropout=args.dropout,
-        use_pallas_attention=args.use_pallas_attention)
+        use_pallas_attention=args.use_pallas_attention,
+        use_pallas_attention_bwd=args.use_pallas_attention_bwd)
     train_cfg = TrainConfig(
         learning_rate=args.lr, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, total_steps=args.steps,

@@ -88,6 +88,10 @@ class MetNet3Config:
     fuse_lead_stem: bool = False
     # Use the fused Pallas window-attention kernel instead of the XLA path.
     use_pallas_attention: bool = False
+    # With use_pallas_attention: also use the fused Pallas BACKWARD kernel
+    # (flash-style in-VMEM recompute) instead of the XLA-recompute VJP —
+    # the training configuration of the kernel.
+    use_pallas_attention_bwd: bool = False
 
     @property
     def n_input_channels(self) -> int:

@@ -46,6 +46,9 @@ class MaxViTSpec:
     dropout: float = 0.1
     num_register_tokens: int = 4
     use_pallas: bool = False
+    # With use_pallas: fused Pallas BACKWARD kernel too (training); the
+    # default backward recomputes the XLA forward from saved inputs.
+    use_pallas_bwd: bool = False
 
     def layer_dims(self):
         """Yield (dim_in, dim_out, downsample) per layer, reproducing the
@@ -99,7 +102,8 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
     use_pallas = spec.use_pallas and (not training or spec.dropout == 0.0
                                       or key is not None)
     if use_pallas:
-        from vit_grid_model_tpu.ops.pallas.attention import window_attention_pallas
+        from vit_grid_model_tpu.ops.pallas.attention import (
+            window_attention_pallas, window_attention_pallas_fused)
 
         dmask = None
         if training and spec.dropout > 0.0 and key is not None:
@@ -110,7 +114,9 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
             dmask = (keep.astype(jnp.float32)
                      / (1.0 - spec.dropout)).astype(tokens.dtype)
         # positional call: custom_vjp functions reject keyword arguments
-        out = window_attention_pallas(
+        fn = (window_attention_pallas_fused if spec.use_pallas_bwd
+              else window_attention_pallas)
+        out = fn(
             layer_p[which], tokens, cond, bias_idx, dmask, spec.heads, nwin)
     else:
         out = attention(

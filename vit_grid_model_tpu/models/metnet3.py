@@ -142,6 +142,7 @@ def _vit_spec(cfg: MetNet3Config) -> MaxViTSpec:
         dropout=cfg.dropout,
         num_register_tokens=cfg.num_register_tokens,
         use_pallas=cfg.use_pallas_attention,
+        use_pallas_bwd=cfg.use_pallas_attention_bwd,
     )
 
 

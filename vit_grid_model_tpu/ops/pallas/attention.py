@@ -220,6 +220,355 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
     return out[:, :n, :]
 
 
+def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
+                          kg_ref, wout_ref, bias_ref, dy_ref, *rest,
+                          heads: int, dim_head: int, n_pad: int, blk: int,
+                          has_film: bool, ln_eps: float = 1e-5,
+                          rms_eps: float = 1e-12):
+    """Fused VJP of ``_attention_kernel`` for one tile of BLK windows.
+
+    Flash-style backward: recomputes the forward internals (LN -> FiLM ->
+    qkv GEMM -> QK-RMSNorm -> softmax) in VMEM from the primal inputs, then
+    runs all gradient contractions in the same program — the qkv/probs
+    tensors never round-trip through HBM, which is what makes the XLA
+    recompute backward lose.
+
+    ``rest`` = ([mask_ref], dx_ref, dgamma_ref, dbeta_ref, dwqkv_ref,
+    dwout_ref, dqg_ref, dkg_ref, dbias_ref).  The weight/bias grads use
+    constant-index output blocks accumulated across the sequential TPU grid.
+    """
+    if len(rest) == 9:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    else:
+        mask_ref = None
+    (dx_ref, dgamma_ref, dbeta_ref, dwqkv_ref, dwout_ref, dqg_ref, dkg_ref,
+     dbias_ref) = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dqg_ref[...] = jnp.zeros_like(dqg_ref)
+        dkg_ref[...] = jnp.zeros_like(dkg_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    in_dtype = x_ref.dtype
+    x = x_ref[...].astype(jnp.float32)                 # (blk, n_pad, dim)
+    dim = x.shape[-1]
+
+    # ---- recompute forward up to qkv ----
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    r_ln = jax.lax.rsqrt(var + ln_eps)
+    xn0 = (x - mean) * r_ln
+    if has_film:
+        gam = gamma_ref[...].astype(jnp.float32)[:, None, :]
+        xf = xn0 * gam + beta_ref[...].astype(jnp.float32)[:, None, :]
+    else:
+        xf = xn0
+    xf_c = xf.astype(in_dtype).reshape(blk * n_pad, dim)
+    qkv = jnp.dot(xf_c, wqkv_ref[...],
+                  preferred_element_type=jnp.float32)  # (blk*n_pad, 3*h*d)
+
+    dim_inner = heads * dim_head
+    scale = dim_head ** 0.5
+    dy = dy_ref[...].astype(jnp.float32)
+    dy2 = dy.reshape(blk * n_pad, dim).astype(in_dtype)
+    # dout = dy @ wout^T  (contract the model dim)
+    dout = jax.lax.dot_general(
+        dy2, wout_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (blk*n_pad, h*d)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    dqg_parts, dkg_parts, dbias_parts, dwout_parts = [], [], [], []
+    for h in range(heads):
+        q = qkv[:, h * dim_head:(h + 1) * dim_head
+                ].reshape(blk, n_pad, dim_head)
+        k = qkv[:, dim_inner + h * dim_head:
+                dim_inner + (h + 1) * dim_head].reshape(blk, n_pad, dim_head)
+        v = qkv[:, 2 * dim_inner + h * dim_head:
+                2 * dim_inner + (h + 1) * dim_head
+                ].reshape(blk, n_pad, dim_head)
+        qq = jnp.maximum(jnp.sum(q * q, -1, keepdims=True), rms_eps ** 2)
+        kk = jnp.maximum(jnp.sum(k * k, -1, keepdims=True), rms_eps ** 2)
+        r_q, r_k = jax.lax.rsqrt(qq), jax.lax.rsqrt(kk)
+        u_q, u_k = q * r_q, k * r_k                   # unit rows
+        s_q, s_k = scale * qg_ref[h], scale * kg_ref[h]
+        qn, kn = u_q * s_q, u_k * s_k
+        sim = jax.lax.dot_general(
+            qn, kn, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) + bias_ref[h][None]
+        m = jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)    # (blk, n_q, n_k)
+        if mask_ref is not None:
+            mask_h = mask_ref[:, h].astype(jnp.float32)
+            pm = p * mask_h
+        else:
+            pm = p
+
+        do_h = dout[:, h * dim_head:(h + 1) * dim_head
+                    ].reshape(blk, n_pad, dim_head)
+        # o_h = pm @ v feeds the out-projection weight grad
+        o_h = jax.lax.dot_general(
+            pm, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dwout_parts.append(jax.lax.dot_general(
+            o_h.reshape(blk * n_pad, dim_head).astype(in_dtype), dy2,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))      # (d, dim)
+
+        dv = jax.lax.dot_general(
+            pm, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (blk, n_k, d)
+        dpm = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (blk, n_q, n_k)
+        dp = dpm * mask_h if mask_ref is not None else dpm
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_parts.append(jnp.sum(ds, axis=0, keepdims=True))  # (1, n, n)
+
+        dqn = jax.lax.dot_general(
+            ds, kn, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (blk, n_q, d)
+        dkn = jax.lax.dot_general(
+            ds, qn, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (blk, n_k, d)
+        dqg_parts.append(scale * jnp.sum(
+            (dqn * u_q).reshape(blk * n_pad, dim_head), 0, keepdims=True))
+        dkg_parts.append(scale * jnp.sum(
+            (dkn * u_k).reshape(blk * n_pad, dim_head), 0, keepdims=True))
+        # l2-normalize backward (through the max(||x||, eps) clamp: the
+        # projection term vanishes on the clamped branch)
+        dUq, dUk = dqn * s_q, dkn * s_k
+        proj_q = jnp.where(qq > rms_eps ** 2,
+                           jnp.sum(dUq * u_q, -1, keepdims=True), 0.0)
+        proj_k = jnp.where(kk > rms_eps ** 2,
+                           jnp.sum(dUk * u_k, -1, keepdims=True), 0.0)
+        dq_parts.append(r_q * (dUq - u_q * proj_q))
+        dk_parts.append(r_k * (dUk - u_k * proj_k))
+        dv_parts.append(dv)
+
+    dwout_ref[...] += jnp.concatenate(dwout_parts, axis=0)
+    dqg_ref[...] += jnp.concatenate(dqg_parts, axis=0)
+    dkg_ref[...] += jnp.concatenate(dkg_parts, axis=0)
+    dbias_ref[...] += jnp.concatenate(dbias_parts, axis=0)
+
+    dqkv = jnp.concatenate(
+        dq_parts + dk_parts + dv_parts, axis=-1)      # (blk, n_pad, 3*h*d)
+    dqkv2 = dqkv.reshape(blk * n_pad, 3 * dim_inner).astype(in_dtype)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        xf_c, dqkv2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (dim, 3*h*d)
+    dxf = jax.lax.dot_general(
+        dqkv2, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(blk, n_pad, dim)
+
+    if has_film:
+        dgamma_ref[...] = jnp.sum(dxf * xn0, axis=1).astype(dgamma_ref.dtype)
+        dbeta_ref[...] = jnp.sum(dxf, axis=1).astype(dbeta_ref.dtype)
+        dxn0 = dxf * gam
+    else:
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+        dxn0 = dxf
+    # LayerNorm backward (biased var)
+    mean_d = jnp.mean(dxn0, axis=-1, keepdims=True)
+    mean_dx = jnp.mean(dxn0 * xn0, axis=-1, keepdims=True)
+    dx = r_ln * (dxn0 - mean_d - xn0 * mean_dx)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
+                               heads, windows_per_sample, block_windows):
+    """Run the fused backward kernel and assemble (dp, dx, dcond)."""
+    from vit_grid_model_tpu.ops import nn as _vnn
+
+    bw, n, dim = x.shape
+    dim_head = p["q_norm"]["gamma"].shape[-1]
+    dim_inner = heads * dim_head
+    n_pad = _round_up(n, 16)
+
+    film_vjp = None
+    if "film" in p and cond is not None:
+        (fg, fb), film_vjp = jax.vjp(
+            lambda fp, cc: _vnn.film(fp, cc), p["film"], cond)
+        gamma = jnp.repeat(fg, windows_per_sample, axis=0)
+        beta = jnp.repeat(fb, windows_per_sample, axis=0)
+        has_film = True
+    elif "g" in p["norm"]:
+        gamma = jnp.broadcast_to(p["norm"]["g"], (bw, dim))
+        beta = jnp.broadcast_to(p["norm"]["b"], (bw, dim))
+        has_film = True
+    else:
+        gamma = jnp.ones((bw, dim), x.dtype)
+        beta = jnp.zeros((bw, dim), x.dtype)
+        has_film = False
+
+    bias = vnn.embedding(p["rel_pos_bias"], bias_indices)
+    bias = bias.transpose(2, 0, 1).astype(jnp.float32)
+    bias = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
+                   constant_values=-1e30)
+
+    blk = block_windows
+    while bw % blk != 0:
+        blk //= 2
+    # Mosaic needs the sublane dim of 2-D (blk, dim) blocks divisible by 8
+    # (or the whole array): small/odd window counts fall back to one program
+    if blk % 8 != 0 and blk != bw:
+        blk = bw
+    x_pad = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    g_pad = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    grid = (bw // blk,)
+    blk_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, {2: lambda i: (i, 0), 3: lambda i: (i, 0, 0),
+                4: lambda i: (i, 0, 0, 0)}[len(shape)],
+        memory_space=pltpu.VMEM)
+    const_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        blk_spec(blk, n_pad, dim),
+        blk_spec(blk, dim),
+        blk_spec(blk, dim),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # wqkv
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # q gamma
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # k gamma
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # wout
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+        blk_spec(blk, n_pad, dim),               # dy
+    ]
+    operands = [
+        x_pad, gamma.astype(x.dtype), beta.astype(x.dtype),
+        p["to_qkv"]["w"].astype(x.dtype),
+        p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
+        p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32),
+        p["to_out"]["w"].astype(x.dtype),
+        bias,
+        g_pad,
+    ]
+    if dropout_mask is not None:
+        mask_pad = jnp.pad(dropout_mask,
+                           ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
+        in_specs.append(blk_spec(blk, heads, n_pad, n_pad))
+        operands.append(mask_pad.astype(x.dtype))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype),          # dx
+        jax.ShapeDtypeStruct((bw, dim), jnp.float32),             # dgamma_w
+        jax.ShapeDtypeStruct((bw, dim), jnp.float32),             # dbeta_w
+        jax.ShapeDtypeStruct((dim, 3 * dim_inner), jnp.float32),  # dwqkv
+        jax.ShapeDtypeStruct((dim_inner, dim), jnp.float32),      # dwout
+        jax.ShapeDtypeStruct((heads, dim_head), jnp.float32),     # dqg
+        jax.ShapeDtypeStruct((heads, dim_head), jnp.float32),     # dkg
+        jax.ShapeDtypeStruct((heads, n_pad, n_pad), jnp.float32),  # dbias
+    ]
+    out_specs = [
+        blk_spec(blk, n_pad, dim),
+        blk_spec(blk, dim),
+        blk_spec(blk, dim),
+        const_spec(dim, 3 * dim_inner),
+        const_spec(dim_inner, dim),
+        const_spec(heads, dim_head),
+        const_spec(heads, dim_head),
+        const_spec(heads, n_pad, n_pad),
+    ]
+    (dx_p, dgw, dbw_, dwqkv, dwout, dqg, dkg, dbias_k) = pl.pallas_call(
+        functools.partial(
+            _attention_bwd_kernel, heads=heads, dim_head=dim_head,
+            n_pad=n_pad, blk=blk, has_film=has_film),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(*operands)
+
+    dx = dx_p[:, :n, :]
+
+    # rel-pos bias table grad: scatter-add of the (n, n, h) cotangent
+    table = p["rel_pos_bias"]["table"]
+    dtable = jnp.zeros_like(table).at[bias_indices].add(
+        dbias_k[:, :n, :n].transpose(1, 2, 0).astype(table.dtype))
+
+    def _like(ref, val):
+        return val.astype(ref.dtype)
+
+    dp = {
+        "to_qkv": {"w": _like(p["to_qkv"]["w"], dwqkv)},
+        "to_out": {"w": _like(p["to_out"]["w"], dwout)},
+        "q_norm": {"gamma": _like(p["q_norm"]["gamma"],
+                                  dqg[:, None, :])},
+        "k_norm": {"gamma": _like(p["k_norm"]["gamma"],
+                                  dkg[:, None, :])},
+        "rel_pos_bias": {"table": dtable},
+    }
+    dcond = None
+    if "film" in p and cond is not None:
+        ng = windows_per_sample
+        dfg = dgw.reshape(-1, ng, dim).sum(1)
+        dfb = dbw_.reshape(-1, ng, dim).sum(1)
+        dfilm, dcond = film_vjp((dfg.astype(fg.dtype), dfb.astype(fb.dtype)))
+        dp["film"] = dfilm
+        dp["norm"] = {}
+    elif "g" in p["norm"]:
+        dp["norm"] = {"g": _like(p["norm"]["g"], dgw.sum(0)),
+                      "b": _like(p["norm"]["b"], dbw_.sum(0))}
+        if "film" in p:
+            dp["film"] = jax.tree.map(jnp.zeros_like, p["film"])
+    else:
+        dp["norm"] = {}
+        if "film" in p:
+            dp["film"] = jax.tree.map(jnp.zeros_like, p["film"])
+    return dp, dx, dcond
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def window_attention_pallas_fused(p, x: Array, cond: Optional[Array],
+                                  bias_indices: Array,
+                                  dropout_mask: Optional[Array] = None,
+                                  heads: int = 32,
+                                  windows_per_sample: int = 1,
+                                  block_windows: int = 8) -> Array:
+    """``window_attention_pallas`` with a fused Pallas BACKWARD kernel.
+
+    Same forward as ``window_attention_pallas``; the VJP runs
+    ``_attention_bwd_kernel`` (flash-style in-VMEM recompute) instead of
+    re-deriving the XLA forward from saved inputs — the training-mode
+    configuration (``MetNet3Config.use_pallas_attention_bwd``).  Gradient
+    numerics: all contractions accumulate in f32; bf16 activations see the
+    same MXU rounding as the XLA path (parity tests bound both dtypes).
+    """
+    return _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
+                                      heads, windows_per_sample,
+                                      block_windows)
+
+
+def _wap_fused_fwd(p, x, cond, bias_indices, dropout_mask, heads,
+                   windows_per_sample, block_windows):
+    out = _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
+                                     heads, windows_per_sample,
+                                     block_windows)
+    return out, (p, x, cond, bias_indices, dropout_mask)
+
+
+def _wap_fused_bwd(heads, windows_per_sample, block_windows, residuals, g):
+    p, x, cond, bias_indices, dropout_mask = residuals
+    dp, dx, dcond = _window_attention_bwd_impl(
+        p, x, cond, bias_indices, dropout_mask, g, heads,
+        windows_per_sample, block_windows)
+    dbias = jnp.zeros(bias_indices.shape, dtype=jax.dtypes.float0)
+    dmask = (None if dropout_mask is None
+             else jnp.zeros_like(dropout_mask))
+    return dp, dx, dcond, dbias, dmask
+
+
+window_attention_pallas_fused.defvjp(_wap_fused_fwd, _wap_fused_bwd)
+
+
 def _xla_equivalent(p, x, cond, bias_indices, dropout_mask, heads,
                     windows_per_sample):
     from vit_grid_model_tpu.ops.attention import attention
