@@ -25,10 +25,10 @@ from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
 from vit_grid_model_tpu.models.metnet3 import metnet3_init
 from vit_grid_model_tpu.train.trainer import build_train_step, init_train_state
 
-MODES = ("xla", "pallas_fwd", "pallas_fused_bwd")
+MODES = ("xla", "pallas_fwd", "pallas_fused_bwd", "fast")
 
 
-def run(batch_size: int, steps: int, warmup: int = 6):
+def run(batch_size: int, steps: int, warmup: int = 6, modes=MODES):
     rng = np.random.default_rng(0)
     batch_host = {
         "x": rng.random((batch_size, 13, 24, 82, 67), dtype=np.float32) * 50,
@@ -38,13 +38,14 @@ def run(batch_size: int, steps: int, warmup: int = 6):
         "targets": rng.random((batch_size, 12, 82, 67), dtype=np.float32) * 60,
     }
     results = {}
-    for mode in MODES:
+    for mode in modes:
         cfg = MetNet3Config(
             window_size=13, n_variables=24, n_start_channels=128,
             end_lead_time=12, pm25_mean=22.5, pm25_std=15.5, dropout=0.1,
             compute_dtype="bfloat16",
+            fuse_lead_stem=(mode == "fast"),
             use_pallas_attention=(mode != "xla"),
-            use_pallas_attention_bwd=(mode == "pallas_fused_bwd"))
+            use_pallas_attention_bwd=(mode in ("pallas_fused_bwd", "fast")))
         tc = TrainConfig(learning_rate=1e-4, total_steps=1000,
                          warmup_steps=10, batch_size=batch_size)
         params = metnet3_init(jax.random.PRNGKey(0), cfg)
@@ -67,18 +68,22 @@ def run(batch_size: int, steps: int, warmup: int = 6):
         print(f"{mode:18s}: {ms:7.1f} ms/step "
               f"({batch_size / (ms / 1e3):5.1f} samples/s)  loss={loss:.4f}",
               flush=True)
-    print(json.dumps({
-        "metric": "train_ms_per_step", "batch": batch_size,
-        **{k: round(v, 1) for k, v in results.items()},
-        "fused_bwd_speedup_vs_xla": round(
-            results["xla"] / results["pallas_fused_bwd"], 3),
-    }))
+    out = {"metric": "train_ms_per_step", "batch": batch_size,
+           **{k: round(v, 1) for k, v in results.items()}}
+    if "xla" in results:
+        for k in ("pallas_fused_bwd", "fast"):
+            if k in results:
+                out[f"{k}_speedup_vs_xla"] = round(results["xla"]
+                                                   / results[k], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--modes", type=str, default=",".join(MODES),
+                    help="comma-separated subset of %s" % (MODES,))
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    run(args.batch, args.steps)
+    run(args.batch, args.steps, modes=tuple(args.modes.split(",")))

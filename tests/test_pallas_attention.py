@@ -247,7 +247,7 @@ def _fused_grad_compare(p, x, cond, dmask, heads, wps, rtol, atol=1e-5):
 
     def loss_pl(pp, xx):
         return jnp.sum(window_attention_pallas_fused(
-            pp, xx, cond, bias_idx, dmask, heads, wps) ** 2)
+            pp, xx, cond, bias_idx, dmask, None, heads, wps, 8, 0.0) ** 2)
 
     g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
     with pltpu.force_tpu_interpret_mode():
@@ -316,7 +316,8 @@ def test_pallas_fused_bwd_bf16_close():
 
     def loss_pl(pp, xx):
         return jnp.sum(window_attention_pallas_fused(
-            pp, xx, cond, bias_idx, None, 4, 3).astype(jnp.float32) ** 2)
+            pp, xx, cond, bias_idx, None, None, 4, 3, 8, 0.0
+            ).astype(jnp.float32) ** 2)
 
     g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
     with pltpu.force_tpu_interpret_mode():
@@ -326,6 +327,56 @@ def test_pallas_fused_bwd_bf16_close():
         b = np.asarray(b, np.float32)
         denom = np.abs(b).max() + 1e-9
         assert np.abs(a - b).max() / denom < 6e-2
+
+
+def test_pallas_in_kernel_dropout_matches_xla_with_extracted_mask():
+    """Hardware-PRNG dropout: the forward kernel's output equals the XLA
+    path applied with the mask the kernel actually sampled (extracted via
+    the emit_mask test hook), and the fused backward — which REGENERATES
+    the mask from the same seed — produces the XLA grads for that mask."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import (
+        _window_attention_fwd_impl, window_attention_pallas_fused)
+
+    p = attention_init(jax.random.PRNGKey(0), 32, cond_dim=2, heads=4,
+                       dim_head=8, window_size=7, num_registers=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 53, 32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2))
+    bias_idx = relative_position_indices(7, 4)
+    seed = jnp.asarray([1234], jnp.int32)
+    rate = 0.25
+
+    with pltpu.force_tpu_interpret_mode():
+        out_k, mask = _window_attention_fwd_impl(
+            p, x, cond, bias_idx, None, 4, 3, 8, seed, rate, True)
+    # sampled keep-mask is pre-scaled {0, 1/(1-rate)} with ~rate zeros
+    m = np.asarray(mask)
+    assert np.all((m == 0.0) | np.isclose(m, 1.0 / (1.0 - rate), rtol=1e-6))
+    frac_dropped = float((np.asarray(mask) == 0).mean())
+    assert abs(frac_dropped - rate) < 0.02
+
+    ref = attention(p, x, cond, bias_idx, heads=4, windows_per_sample=3,
+                    dropout_mask=mask)
+    rel = np.abs(np.asarray(out_k) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 2e-5, rel
+
+    def loss_xla(pp, xx):
+        return jnp.sum(attention(pp, xx, cond, bias_idx, heads=4,
+                                 windows_per_sample=3,
+                                 dropout_mask=mask) ** 2)
+
+    def loss_pl(pp, xx):
+        return jnp.sum(window_attention_pallas_fused(
+            pp, xx, cond, bias_idx, None, seed, 4, 3, 8, rate) ** 2)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
 
 
 def test_short_train_fused_bwd_matches_xla_loss_curve():

@@ -76,6 +76,44 @@ def test_train_step_runs_and_updates():
     assert np.abs(np.asarray(bn["mean"])).max() > 0
 
 
+def test_bf16_train_step_keeps_param_dtypes_and_npz_roundtrip(tmp_path):
+    """Regression: under bf16 compute the MBConv BN stats are collected in
+    bf16; merging them back must preserve the stored f32 dtype — a
+    heterogeneous pytree produced .npz checkpoints with opaque void ('V2')
+    arrays that failed to load (found by the round-2 --fast training run)."""
+    from vit_grid_model_tpu.core.checkpoint import restore_params, save_params
+
+    cfg = MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
+                        end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                        n_heads=4, dim_head=4, compute_dtype="bfloat16")
+    tc = TrainConfig(total_steps=4, warmup_steps=1, batch_size=2)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, tc)
+    step = build_train_step(cfg, tc)
+    state, _ = step(state, _batch(cfg, B=2))
+    dtypes = {str(np.asarray(v).dtype) for v in jax.tree.leaves(state.params)}
+    assert "bfloat16" not in dtypes and "V2" not in dtypes, dtypes
+
+    path = save_params(str(tmp_path / "p.npz"), state.params)
+    back = restore_params(path, state.params)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_params_casts_bf16_leaves(tmp_path):
+    """Even if a pytree does carry bf16 leaves, .npz save stores them as f32
+    (exact) instead of numpy void, and they load back."""
+    from vit_grid_model_tpu.core.checkpoint import restore_params, save_params
+
+    tree = {"w": jnp.asarray([1.5, -2.25], jnp.bfloat16),
+            "b": jnp.asarray([0.5], jnp.float32)}
+    path = save_params(str(tmp_path / "t.npz"), tree)
+    back = restore_params(path, tree)
+    np.testing.assert_array_equal(np.asarray(back["w"], np.float32),
+                                  np.asarray(tree["w"], np.float32))
+    np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(tree["b"]))
+
+
 def test_loss_decreases_overfit():
     cfg = _cfg()
     tc = TrainConfig(learning_rate=1e-3, total_steps=30, warmup_steps=1,

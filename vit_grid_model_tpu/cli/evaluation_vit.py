@@ -119,12 +119,17 @@ def build_configs(args):
     if args.fast:
         args.compute_dtype = "bfloat16"
         args.precision = "default"
+    import jax
+
+    # Pallas TPU kernels don't lower on the CPU backend (interpret mode is
+    # test-only); --fast on a CPU host keeps bf16 + fused stem, XLA attention
+    on_tpu = jax.default_backend() != "cpu"
     model_cfg = MetNet3Config(
         window_size=args.input_dim + args.output_dim, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
-        use_pallas_attention=args.fast)
+        use_pallas_attention=args.fast and on_tpu)
     return data_cfg, model_cfg, test_start, test_end
 
 

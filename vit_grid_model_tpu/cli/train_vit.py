@@ -54,11 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel (flash-style in-VMEM recompute) instead of "
                         "the XLA-recompute VJP — measured 113.6 ms/step vs "
                         "143.9 pure-XLA at flagship config (1.27x)")
+    p.add_argument("--fuse_lead_stem", action="store_true",
+                   help="compute the lead-independent part of the stem conv "
+                        "once per sample (exact up to float re-association; "
+                        "measured -6%% train step at flagship config)")
     p.add_argument("--fast", action="store_true",
-                   help="throughput mode for training: bf16 + fused Pallas "
-                        "attention forward AND backward (the measured-best "
-                        "train config: 113.6 ms/step vs 143.9 XLA at "
-                        "flagship B=4)")
+                   help="throughput mode for training: bf16 + fused lead "
+                        "stem + fused Pallas attention forward AND backward "
+                        "(measured-best train config: 106 ms/step vs 143.9 "
+                        "pure-XLA f32-stem at flagship B=4)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
     p.add_argument("--checkpoint_dir", type=str, default="check_points")
@@ -102,6 +106,7 @@ def main(argv=None) -> None:
 
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     from vit_grid_model_tpu.core.config import (DataConfig, GridConfig,
                                                 MetNet3Config, TrainConfig)
@@ -137,13 +142,18 @@ def main(argv=None) -> None:
     stations = eval_driver.load_stations(args.data_path)
     if args.fast:
         args.compute_dtype = "bfloat16"
-        args.use_pallas_attention = True
-        args.use_pallas_attention_bwd = True
+        args.fuse_lead_stem = True
+        # Pallas TPU kernels don't lower on the CPU backend (interpret mode
+        # is test-only); --fast on a CPU host stays bf16 + XLA attention
+        if jax.default_backend() != "cpu":
+            args.use_pallas_attention = True
+            args.use_pallas_attention_bwd = True
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, dropout=args.dropout,
+        fuse_lead_stem=args.fuse_lead_stem,
         use_pallas_attention=args.use_pallas_attention,
         use_pallas_attention_bwd=args.use_pallas_attention_bwd)
     train_cfg = TrainConfig(
@@ -214,14 +224,22 @@ def main(argv=None) -> None:
     # overlap host->HBM transfer with the previous step's compute
     from vit_grid_model_tpu.data.pipeline import device_prefetch
 
+    def _stage(b):
+        if args.compute_dtype == "bfloat16":
+            # bf16 training casts the CMAQ stack on device anyway
+            # (metnet3_apply); casting on host instead halves the
+            # host->device bytes of the dominant batch member
+            b = {**b, "x": np.asarray(b["x"]).astype(jnp.bfloat16)}
+        return b
+
     if mesh is not None:
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
         batches = device_prefetch(
-            batches, lambda b: meshlib.shard_batch(mesh, b))
+            batches, lambda b: meshlib.shard_batch(mesh, _stage(b)))
     else:
         batches = device_prefetch(
-            batches, lambda b: jax.device_put(b))
+            batches, lambda b: jax.device_put(_stage(b)))
 
     import itertools
 

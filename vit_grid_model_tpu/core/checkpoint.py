@@ -33,7 +33,14 @@ def _flatten_with_paths(tree):
 def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
     """Save a param pytree.  Directory -> orbax; ``.npz`` suffix -> numpy."""
     if path.endswith(".npz"):
-        np.savez(path, **_flatten_with_paths(params))
+        flat = _flatten_with_paths(params)
+        # np.savez round-trips extension dtypes (bf16) as opaque void
+        # arrays that neither numpy nor JAX can read back — store them as
+        # f32 (exact: bf16 ⊂ f32); restore_params casts to the model dtype
+        flat = {k: (v.astype(np.float32)
+                    if v.dtype == jax.numpy.bfloat16 else v)
+                for k, v in flat.items()}
+        np.savez(path, **flat)
         return path
     import orbax.checkpoint as ocp
 

@@ -105,19 +105,34 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
         from vit_grid_model_tpu.ops.pallas.attention import (
             window_attention_pallas, window_attention_pallas_fused)
 
-        dmask = None
-        if training and spec.dropout > 0.0 and key is not None:
-            n_tok = tokens.shape[1]
-            keep = jax.random.bernoulli(
-                key, 1.0 - spec.dropout,
-                (tokens.shape[0], spec.heads, n_tok, n_tok))
-            dmask = (keep.astype(jnp.float32)
-                     / (1.0 - spec.dropout)).astype(tokens.dtype)
-        # positional call: custom_vjp functions reject keyword arguments
-        fn = (window_attention_pallas_fused if spec.use_pallas_bwd
-              else window_attention_pallas)
-        out = fn(
-            layer_p[which], tokens, cond, bias_idx, dmask, spec.heads, nwin)
+        dropout_on = training and spec.dropout > 0.0 and key is not None
+        # positional calls: custom_vjp functions reject keyword arguments
+        if spec.use_pallas_bwd:
+            # fused-backward configuration: dropout keep-masks are sampled
+            # INSIDE both kernels by a counter-based hash PRNG from a shared
+            # scalar seed — no (windows, heads, n, n) mask in HBM
+            seed, rate = None, 0.0
+            if dropout_on:
+                seed = jax.random.randint(
+                    key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                rate = spec.dropout
+            out = window_attention_pallas_fused(
+                layer_p[which], tokens, cond, bias_idx, None, seed,
+                spec.heads, nwin, 8, rate)
+        else:
+            # forward-only kernel (XLA-recompute VJP): the mask is sampled
+            # OUTSIDE so the recompute applies identical randomness
+            dmask = None
+            if dropout_on:
+                n_tok = tokens.shape[1]
+                keep = jax.random.bernoulli(
+                    key, 1.0 - spec.dropout,
+                    (tokens.shape[0], spec.heads, n_tok, n_tok))
+                dmask = (keep.astype(jnp.float32)
+                         / (1.0 - spec.dropout)).astype(tokens.dtype)
+            out = window_attention_pallas(
+                layer_p[which], tokens, cond, bias_idx, dmask, spec.heads,
+                nwin)
     else:
         out = attention(
             layer_p[which], tokens, cond, bias_idx, heads=spec.heads,

@@ -1,8 +1,9 @@
-"""Fused Pallas TPU kernel for MaxViT window attention.
+"""Fused Pallas TPU kernels for MaxViT window attention (forward + backward).
 
-One kernel fuses the whole attention block for a tile of windows:
+One forward kernel fuses the whole attention block for a tile of windows:
 LayerNorm -> FiLM -> qkv projection -> QK-RMSNorm -> scores + relative
-position bias -> softmax -> value aggregation -> output projection.
+position bias -> softmax -> (dropout) -> value aggregation -> output
+projection.
 
 Why fuse: the XLA path materializes the (windows, tokens, 3*heads*dim_head)
 qkv tensor in HBM (~1GB per attention call at eval batch sizes); keeping it
@@ -15,10 +16,29 @@ Geometry (eval config): 53 tokens (49 window + 4 registers) padded to 56
 sublanes, dim 128, 32 heads x 32 dim_head.  Padded token rows are masked out
 of the softmax with a -inf bias column block.
 
+Training has two kernel-side extras:
+
+* a fused BACKWARD kernel (``_attention_bwd_kernel``): flash-style in-VMEM
+  recompute of the forward internals plus every gradient contraction in the
+  same program, with weight/bias grads accumulated across the sequential TPU
+  grid — measured 1.27x over the pure-XLA train step at flagship config
+  (the XLA-recompute VJP of the forward-only kernel is a net LOSS there);
+* in-kernel attention dropout via a stateless counter-based hash PRNG
+  (lowbias32-style integer mix of the global (window, head, row, col)
+  index with a scalar seed, all VPU ops): the forward and backward kernels
+  regenerate the identical keep-mask from the shared seed — identity holds
+  by construction (a pure function of indices), not by draw-order
+  discipline — removing the threefry sampling and the
+  (windows, heads, n, n) mask HBM round-trips of the externally-sampled
+  path.  (The TPU hardware PRNG was rejected: this jax build's TPU
+  interpret mode stubs ``prng_random_bits`` to zeros, making that path
+  untestable on CPU and silently all-dropping there.)
+
 Semantics match ``ops.attention.attention`` exactly (same quirks: no extra
 q scale, RMSNorm-only scaling); equivalence is tested in
 tests/test_pallas_attention.py.  Select with
-``MetNet3Config.use_pallas_attention`` or call directly.
+``MetNet3Config.use_pallas_attention`` (+ ``use_pallas_attention_bwd`` for
+the training configuration) or call directly.
 """
 
 from __future__ import annotations
@@ -40,17 +60,53 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _keep_mask(seed, pid, h, heads, blk, n_pad, rate):
+    """Pre-scaled dropout keep-mask for one head of one program's tile.
+
+    A stateless counter-based PRNG: lowbias32-style integer hash of the
+    global (window, head, row, col) index mixed with the scalar seed.
+    Pure function of indices => the forward and backward kernels regenerate
+    bit-identical masks with no cross-kernel draw-order coupling, and it
+    runs identically under the TPU interpret mode (whose hardware-PRNG stub
+    returns zeros).  ~6 VPU integer ops per element — noise next to the
+    attention matmuls, and no (windows, heads, n, n) HBM traffic.
+    """
+    shape = (blk, n_pad, n_pad)
+    win = (pid * blk).astype(jnp.uint32) + jax.lax.broadcasted_iota(
+        jnp.uint32, shape, 0)
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    idx = ((win * jnp.uint32(heads) + jnp.uint32(h)) * jnp.uint32(n_pad)
+           + row) * jnp.uint32(n_pad) + col
+    x = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    # Mosaic has no uint32->f32 cast; after >>8 the top bits are zero, so
+    # a bitcast to int32 is value-preserving and int32->f32 lowers fine
+    u24 = jax.lax.bitcast_convert_type(x >> jnp.uint32(8), jnp.int32)
+    u = u24.astype(jnp.float32) * (2.0 ** -24)
+    return (u >= rate).astype(jnp.float32) / (1.0 - rate)
+
+
 def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
                       wout_ref, bias_ref, *rest, heads: int,
                       dim_head: int, n_pad: int, blk: int,
-                      has_film: bool, ln_eps: float = 1e-5,
+                      has_film: bool, dropout_rate: float = 0.0,
+                      emit_mask: bool = False, ln_eps: float = 1e-5,
                       rms_eps: float = 1e-12):
     """One program: BLK windows of (n_pad, dim) tokens.
 
-    ``rest`` is ``(o_ref,)`` for inference or ``(mask_ref, o_ref)`` when a
-    pre-scaled dropout keep-mask (blk, heads, n_pad, n_pad) rides along
-    (training with attention dropout)."""
-    mask_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+    ``rest`` layout (all optional slots resolved statically):
+    ``[seed_ref (SMEM, iff dropout_rate > 0)] + [mask_ref (iff an external
+    pre-scaled keep mask rides along)] + [o_ref] + [mask_out_ref (iff
+    emit_mask — test hook exposing the in-kernel-sampled mask)]``."""
+    refs = list(rest)
+    seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
+    mask_out_ref = refs.pop() if emit_mask else None
+    mask_ref = refs.pop(0) if len(refs) == 2 else None
+    o_ref = refs[0]
+
     in_dtype = x_ref.dtype
     x = x_ref[...].astype(jnp.float32)            # (blk, n_pad, dim)
     dim = x.shape[-1]
@@ -96,7 +152,16 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
         m = jnp.max(sim, axis=-1, keepdims=True)
         e = jnp.exp(sim - m)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
-        if mask_ref is not None:
+        if seed_ref is not None:
+            # counter-based dropout: keep prob 1-rate, pre-scaled.  The
+            # backward kernel evaluates the same hash of the same indices,
+            # so it regenerates this exact mask.
+            keep = _keep_mask(seed_ref[0], pl.program_id(0), h, heads,
+                              blk, n_pad, dropout_rate)
+            attn = attn * keep
+            if mask_out_ref is not None:
+                mask_out_ref[:, h] = keep.astype(mask_out_ref.dtype)
+        elif mask_ref is not None:
             attn = attn * mask_ref[:, h].astype(jnp.float32)
         o_h = jax.lax.dot_general(
             attn, v, (((2,), (1,)), ((0,), (0,))),
@@ -107,6 +172,43 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
     y = jnp.dot(out.astype(in_dtype).reshape(blk * n_pad, heads * dim_head),
                 wout_ref[...], preferred_element_type=jnp.float32)
     o_ref[...] = y.reshape(blk, n_pad, dim).astype(o_ref.dtype)
+
+
+def _prep_gamma_beta(p, cond, x, bw, dim, windows_per_sample):
+    """The LN-affine/FiLM slot shared by the forward and backward wrappers.
+    Conditioned layers have no LN affine (``maxvit.py:137``); for
+    unconditioned layers the affine g/b ride the FiLM slot instead."""
+    if "film" in p and cond is not None:
+        gamma, beta = vnn.film(p["film"], cond)
+        gamma = jnp.repeat(gamma, windows_per_sample, axis=0)
+        beta = jnp.repeat(beta, windows_per_sample, axis=0)
+        return gamma, beta, True
+    if "g" in p["norm"]:
+        gamma = jnp.broadcast_to(p["norm"]["g"], (bw, dim))
+        beta = jnp.broadcast_to(p["norm"]["b"], (bw, dim))
+        return gamma, beta, True
+    return (jnp.ones((bw, dim), x.dtype), jnp.zeros((bw, dim), x.dtype),
+            False)
+
+
+def _prep_bias(p, bias_indices, n, n_pad):
+    bias = vnn.embedding(p["rel_pos_bias"], bias_indices)   # (n, n, h)
+    bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (h, n, n)
+    # pad: -inf on padded KEY columns so they never receive weight;
+    # padded query rows produce garbage and are sliced off by the caller
+    return jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
+                   constant_values=-1e30)
+
+
+def _pick_blk(bw: int, block_windows: int) -> int:
+    blk = block_windows
+    while bw % blk != 0:
+        blk //= 2
+    # Mosaic needs the sublane dim of 2-D (blk, dim) blocks divisible by 8
+    # (or the whole array): small/odd window counts fall back to one program
+    if blk % 8 != 0 and blk != bw:
+        blk = bw
+    return blk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -128,47 +230,27 @@ def window_attention_pallas(p, x: Array, cond: Optional[Array],
     equivalent) XLA implementation, recomputed from the saved inputs — the
     standard remat-style trade (the forward's HBM savings are what the
     kernel is for; the backward recompute uses fusion-friendly XLA ops).
+    For the fused Pallas backward, use ``window_attention_pallas_fused``.
     """
     return _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
                                       heads, windows_per_sample,
-                                      block_windows)
+                                      block_windows, None, 0.0, False)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 9, 10))
 def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
-                               heads, windows_per_sample, block_windows):
+                               heads, windows_per_sample, block_windows,
+                               seed, dropout_rate, emit_mask):
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
     n_pad = _round_up(n, 16)
 
-    # host-side (jit-traced, fused by XLA) precomputation of small pieces.
-    # Conditioned layers have no LN affine (``maxvit.py:137``); for
-    # unconditioned layers the affine g/b ride the FiLM slot instead.
-    if "film" in p and cond is not None:
-        gamma, beta = vnn.film(p["film"], cond)
-        gamma = jnp.repeat(gamma, windows_per_sample, axis=0)
-        beta = jnp.repeat(beta, windows_per_sample, axis=0)
-        has_film = True
-    elif "g" in p["norm"]:
-        gamma = jnp.broadcast_to(p["norm"]["g"], (bw, dim))
-        beta = jnp.broadcast_to(p["norm"]["b"], (bw, dim))
-        has_film = True
-    else:
-        gamma = jnp.ones((bw, dim), x.dtype)
-        beta = jnp.zeros((bw, dim), x.dtype)
-        has_film = False
-
-    bias = vnn.embedding(p["rel_pos_bias"], bias_indices)   # (n, n, h)
-    bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (h, n, n)
-    # pad: -inf on padded KEY columns so they never receive weight;
-    # padded query rows produce garbage and are sliced off below
-    bias = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
-                   constant_values=-1e30)
-
-    blk = block_windows
-    while bw % blk != 0:
-        blk //= 2
+    # host-side (jit-traced, fused by XLA) precomputation of small pieces
+    gamma, beta, has_film = _prep_gamma_beta(p, cond, x, bw, dim,
+                                             windows_per_sample)
+    bias = _prep_bias(p, bias_indices, n, n_pad)
+    blk = _pick_blk(bw, block_windows)
     x_pad = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
     grid = (bw // blk,)
@@ -194,6 +276,9 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
         bias,
     ]
     kwargs = {}
+    if dropout_rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed.astype(jnp.int32))
     if dropout_mask is not None:
         # padded key columns already get zero attention via the -inf bias;
         # mask padding values are therefore irrelevant (pad with zeros)
@@ -206,44 +291,58 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
         # the mask block exceeds the default 16MB scoped-vmem budget
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024)
+    out_shape = jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype)
+    out_specs = pl.BlockSpec((blk, n_pad, dim), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_mask:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bw, heads, n_pad, n_pad),
+                                          jnp.float32)]
+        out_specs = [out_specs,
+                     pl.BlockSpec((blk, heads, n_pad, n_pad),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(
             _attention_kernel, heads=heads, dim_head=dim_head,
-            n_pad=n_pad, blk=blk, has_film=has_film),
-        out_shape=jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype),
+            n_pad=n_pad, blk=blk, has_film=has_film,
+            dropout_rate=dropout_rate, emit_mask=emit_mask),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((blk, n_pad, dim), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         **kwargs,
     )(*operands)
+    if emit_mask:
+        return out[0][:, :n, :], out[1][:, :, :n, :n]
     return out[:, :n, :]
 
 
 def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
                           kg_ref, wout_ref, bias_ref, dy_ref, *rest,
                           heads: int, dim_head: int, n_pad: int, blk: int,
-                          has_film: bool, ln_eps: float = 1e-5,
-                          rms_eps: float = 1e-12):
+                          has_film: bool, dropout_rate: float = 0.0,
+                          ln_eps: float = 1e-5, rms_eps: float = 1e-12):
     """Fused VJP of ``_attention_kernel`` for one tile of BLK windows.
 
     Flash-style backward: recomputes the forward internals (LN -> FiLM ->
-    qkv GEMM -> QK-RMSNorm -> softmax) in VMEM from the primal inputs, then
-    runs all gradient contractions in the same program — the qkv/probs
-    tensors never round-trip through HBM, which is what makes the XLA
-    recompute backward lose.
+    qkv GEMM -> QK-RMSNorm -> softmax [-> PRNG dropout]) in VMEM from the
+    primal inputs, then runs all gradient contractions in the same
+    program — the qkv/probs tensors never round-trip through HBM, which is
+    what makes the XLA recompute backward lose.
 
-    ``rest`` = ([mask_ref], dx_ref, dgamma_ref, dbeta_ref, dwqkv_ref,
-    dwout_ref, dqg_ref, dkg_ref, dbias_ref).  The weight/bias grads use
-    constant-index output blocks accumulated across the sequential TPU grid.
+    ``rest`` = ([seed_ref iff dropout_rate > 0], [mask_ref iff external
+    mask], dx_ref, dgamma_ref, dbeta_ref, dwqkv_ref, dwout_ref, dqg_ref,
+    dkg_ref, dbias_ref).  The weight/bias grads use constant-index output
+    blocks accumulated across the sequential TPU grid.
     """
-    if len(rest) == 9:
-        mask_ref = rest[0]
-        rest = rest[1:]
-    else:
-        mask_ref = None
+    refs = list(rest)
+    seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
+    mask_ref = refs.pop(0) if len(refs) == 9 else None
     (dx_ref, dgamma_ref, dbeta_ref, dwqkv_ref, dwout_ref, dqg_ref, dkg_ref,
-     dbias_ref) = rest
+     dbias_ref) = refs
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -302,11 +401,14 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
         m = jnp.max(sim, axis=-1, keepdims=True)
         e = jnp.exp(sim - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)    # (blk, n_q, n_k)
-        if mask_ref is not None:
+        if seed_ref is not None:
+            mask_h = _keep_mask(seed_ref[0], pl.program_id(0), h, heads,
+                                blk, n_pad, dropout_rate)
+        elif mask_ref is not None:
             mask_h = mask_ref[:, h].astype(jnp.float32)
-            pm = p * mask_h
         else:
-            pm = p
+            mask_h = None
+        pm = p * mask_h if mask_h is not None else p
 
         do_h = dout[:, h * dim_head:(h + 1) * dim_head
                     ].reshape(blk, n_pad, dim_head)
@@ -325,7 +427,7 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
         dpm = jax.lax.dot_general(
             do_h, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # (blk, n_q, n_k)
-        dp = dpm * mask_h if mask_ref is not None else dpm
+        dp = dpm * mask_h if mask_h is not None else dpm
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dbias_parts.append(jnp.sum(ds, axis=0, keepdims=True))  # (1, n, n)
 
@@ -380,12 +482,11 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 10))
 def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
-                               heads, windows_per_sample, block_windows):
+                               heads, windows_per_sample, block_windows,
+                               seed, dropout_rate):
     """Run the fused backward kernel and assemble (dp, dx, dcond)."""
-    from vit_grid_model_tpu.ops import nn as _vnn
-
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     dim_inner = heads * dim_head
@@ -394,31 +495,11 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     film_vjp = None
     if "film" in p and cond is not None:
         (fg, fb), film_vjp = jax.vjp(
-            lambda fp, cc: _vnn.film(fp, cc), p["film"], cond)
-        gamma = jnp.repeat(fg, windows_per_sample, axis=0)
-        beta = jnp.repeat(fb, windows_per_sample, axis=0)
-        has_film = True
-    elif "g" in p["norm"]:
-        gamma = jnp.broadcast_to(p["norm"]["g"], (bw, dim))
-        beta = jnp.broadcast_to(p["norm"]["b"], (bw, dim))
-        has_film = True
-    else:
-        gamma = jnp.ones((bw, dim), x.dtype)
-        beta = jnp.zeros((bw, dim), x.dtype)
-        has_film = False
-
-    bias = vnn.embedding(p["rel_pos_bias"], bias_indices)
-    bias = bias.transpose(2, 0, 1).astype(jnp.float32)
-    bias = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
-                   constant_values=-1e30)
-
-    blk = block_windows
-    while bw % blk != 0:
-        blk //= 2
-    # Mosaic needs the sublane dim of 2-D (blk, dim) blocks divisible by 8
-    # (or the whole array): small/odd window counts fall back to one program
-    if blk % 8 != 0 and blk != bw:
-        blk = bw
+            lambda fp, cc: vnn.film(fp, cc), p["film"], cond)
+    gamma, beta, has_film = _prep_gamma_beta(p, cond, x, bw, dim,
+                                             windows_per_sample)
+    bias = _prep_bias(p, bias_indices, n, n_pad)
+    blk = _pick_blk(bw, block_windows)
     x_pad = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     g_pad = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
 
@@ -449,6 +530,9 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
         bias,
         g_pad,
     ]
+    if dropout_rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed.astype(jnp.int32))
     if dropout_mask is not None:
         mask_pad = jnp.pad(dropout_mask,
                            ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
@@ -478,7 +562,8 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     (dx_p, dgw, dbw_, dwqkv, dwout, dqg, dkg, dbias_k) = pl.pallas_call(
         functools.partial(
             _attention_bwd_kernel, heads=heads, dim_head=dim_head,
-            n_pad=n_pad, blk=blk, has_film=has_film),
+            n_pad=n_pad, blk=blk, has_film=has_film,
+            dropout_rate=dropout_rate),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
@@ -526,44 +611,58 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     return dp, dx, dcond
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def window_attention_pallas_fused(p, x: Array, cond: Optional[Array],
                                   bias_indices: Array,
-                                  dropout_mask: Optional[Array] = None,
+                                  dropout_mask: Optional[Array],
+                                  seed: Optional[Array],
                                   heads: int = 32,
                                   windows_per_sample: int = 1,
-                                  block_windows: int = 8) -> Array:
+                                  block_windows: int = 8,
+                                  dropout_rate: float = 0.0) -> Array:
     """``window_attention_pallas`` with a fused Pallas BACKWARD kernel.
 
     Same forward as ``window_attention_pallas``; the VJP runs
     ``_attention_bwd_kernel`` (flash-style in-VMEM recompute) instead of
-    re-deriving the XLA forward from saved inputs — the training-mode
-    configuration (``MetNet3Config.use_pallas_attention_bwd``).  Gradient
-    numerics: all contractions accumulate in f32; bf16 activations see the
-    same MXU rounding as the XLA path (parity tests bound both dtypes).
+    re-deriving the XLA forward from saved inputs — the training
+    configuration (``MetNet3Config.use_pallas_attention_bwd``).
+
+    Attention dropout: pass ``seed`` (int32 (1,)) + static ``dropout_rate``
+    to sample the keep-mask inside BOTH kernels with the stateless
+    counter-based hash PRNG (a pure function of (seed, window, head, row,
+    col) => identical masks by construction), instead of materializing a
+    (Bw, heads, n, n) mask in HBM (``dropout_mask`` stays supported for the
+    externally-sampled contract).  Gradient numerics: all contractions
+    accumulate in f32; bf16 activations see the same MXU rounding as the
+    XLA path (parity tests bound both dtypes).
     """
     return _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
                                       heads, windows_per_sample,
-                                      block_windows)
+                                      block_windows, seed, dropout_rate,
+                                      False)
 
 
-def _wap_fused_fwd(p, x, cond, bias_indices, dropout_mask, heads,
-                   windows_per_sample, block_windows):
+def _wap_fused_fwd(p, x, cond, bias_indices, dropout_mask, seed, heads,
+                   windows_per_sample, block_windows, dropout_rate):
     out = _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
                                      heads, windows_per_sample,
-                                     block_windows)
-    return out, (p, x, cond, bias_indices, dropout_mask)
+                                     block_windows, seed, dropout_rate,
+                                     False)
+    return out, (p, x, cond, bias_indices, dropout_mask, seed)
 
 
-def _wap_fused_bwd(heads, windows_per_sample, block_windows, residuals, g):
-    p, x, cond, bias_indices, dropout_mask = residuals
+def _wap_fused_bwd(heads, windows_per_sample, block_windows, dropout_rate,
+                   residuals, g):
+    p, x, cond, bias_indices, dropout_mask, seed = residuals
     dp, dx, dcond = _window_attention_bwd_impl(
         p, x, cond, bias_indices, dropout_mask, g, heads,
-        windows_per_sample, block_windows)
+        windows_per_sample, block_windows, seed, dropout_rate)
     dbias = jnp.zeros(bias_indices.shape, dtype=jax.dtypes.float0)
     dmask = (None if dropout_mask is None
              else jnp.zeros_like(dropout_mask))
-    return dp, dx, dcond, dbias, dmask
+    dseed = (None if seed is None
+             else jnp.zeros(seed.shape, dtype=jax.dtypes.float0))
+    return dp, dx, dcond, dbias, dmask, dseed
 
 
 window_attention_pallas_fused.defvjp(_wap_fused_fwd, _wap_fused_bwd)
@@ -583,7 +682,7 @@ def _wap_fwd(p, x, cond, bias_indices, dropout_mask, heads,
     # custom_vjp fwd keeps the primal signature (nondiff args in place)
     out = _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
                                      heads, windows_per_sample,
-                                     block_windows)
+                                     block_windows, None, 0.0, False)
     return out, (p, x, cond, bias_indices, dropout_mask)
 
 

@@ -88,8 +88,14 @@ def _merge_bn(params, bn_updates):
         conv = dict(layers[li]["conv"])
         for bn_name, s in stats.items():
             bn = dict(conv[bn_name])
-            bn["mean"] = jax.lax.stop_gradient(s["mean"])
-            bn["var"] = jax.lax.stop_gradient(s["var"])
+            # keep the stored dtype (f32): under bf16 compute the collected
+            # stats arrive bf16, and letting them replace f32 leaves would
+            # silently turn the param pytree (and its .npz checkpoints,
+            # which can't represent bf16) heterogeneous
+            bn["mean"] = jax.lax.stop_gradient(
+                s["mean"]).astype(bn["mean"].dtype)
+            bn["var"] = jax.lax.stop_gradient(
+                s["var"]).astype(bn["var"].dtype)
             conv[bn_name] = bn
         layers[li] = {**layers[li], "conv": conv}
     params["vit"] = {**params["vit"], "layers": layers}
