@@ -200,9 +200,14 @@ def test_pallas_dropout_mask_matches_xla():
                                    rtol=5e-4, atol=1e-5)
 
 
-def test_train_step_pallas_with_dropout_runs():
-    """With dropout > 0 the training path now keeps the Pallas kernel (mask
-    sampled outside): one step runs and produces a finite loss."""
+@pytest.mark.parametrize("fused_bwd", [False, True])
+def test_train_step_pallas_with_dropout_runs(fused_bwd):
+    """With dropout > 0 the training path keeps the Pallas kernel: one step
+    runs and produces a finite loss.  fused_bwd=False samples the mask
+    outside (XLA-recompute VJP); fused_bwd=True samples it in-kernel with
+    the counter-based hash PRNG — exercised here through the FULL model,
+    i.e. at both the block-attention (53-token) and grid-attention
+    (34-token) window geometries."""
     from jax.experimental.pallas import tpu as pltpu
 
     from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
@@ -213,7 +218,8 @@ def test_train_step_pallas_with_dropout_runs():
     cfg = MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
                         end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
                         n_heads=4, dim_head=4, dropout=0.1,
-                        use_pallas_attention=True)
+                        use_pallas_attention=True,
+                        use_pallas_attention_bwd=fused_bwd)
     tc = TrainConfig(learning_rate=1e-3, total_steps=2, warmup_steps=1,
                      batch_size=1)
     rng = np.random.default_rng(0)
