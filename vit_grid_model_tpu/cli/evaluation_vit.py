@@ -122,7 +122,10 @@ def build_configs(args):
     import jax
 
     # Pallas TPU kernels don't lower on the CPU backend (interpret mode is
-    # test-only); --fast on a CPU host keeps bf16 + fused stem, XLA attention
+    # test-only); --fast on a CPU host keeps bf16 + fused stem, XLA
+    # attention.  On a >1-device mesh the kernels are shard_mapped over
+    # the window axis (GSPMD has no partitioning rule for pallas_call) —
+    # main() sets the mesh ambient and the shard axis.
     on_tpu = jax.default_backend() != "cpu"
     model_cfg = MetNet3Config(
         window_size=args.input_dim + args.output_dim, n_variables=24,
@@ -190,6 +193,13 @@ def main(argv=None) -> None:
         mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1),
                                  devices=devs)
         print(f"mesh: {dict(mesh.shape)}")
+        if model_cfg.use_pallas_attention:
+            # shard_map the Pallas kernels over the window axis (GSPMD has
+            # no partitioning rule for pallas_call); needs the ambient mesh
+            import dataclasses as _dc
+
+            jax.set_mesh(mesh)
+            model_cfg = _dc.replace(model_cfg, pallas_shard_axis="data")
 
     print(f"devices: {jax.devices()}")
     print(args)

@@ -41,12 +41,18 @@ def main(argv=None) -> None:
         data_path=args.data_path, sim_data_path=args.sim_data_path,
         analysis_data_path=args.analysis_data_path)
     feat_infos = eval_driver.load_feat_infos(args.data_path)
+    # GSPMD has no partitioning rule for pallas_call: on a >1-device mesh
+    # the kernels are shard_mapped over the window axis (the mesh is made
+    # ambient below when it is constructed)
+    n_dev = (len(jax.devices()) if args.data_parallel == -1
+             else args.data_parallel)
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, fuse_lead_stem=True,
-        use_pallas_attention=args.pallas)
+        use_pallas_attention=args.pallas,
+        pallas_shard_axis=("data" if args.pallas and n_dev > 1 else None))
 
     if args.checkpoint and args.checkpoint.endswith(".pkt"):
         from vit_grid_model_tpu.core.torch_import import convert_checkpoint
@@ -66,6 +72,8 @@ def main(argv=None) -> None:
 
     mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1))
     print(f"mesh: {dict(mesh.shape)}")
+    if model_cfg.pallas_shard_axis is not None:
+        jax.set_mesh(mesh)   # the in-model shard_map resolves the axis
     n = generate_reanalysis(
         params, model_cfg, data_cfg,
         start=datetime.fromisoformat(args.start),

@@ -208,6 +208,14 @@ def main(argv=None) -> None:
             raise ValueError("batch_size must divide over the data axis")
         state = jax.device_put(state, meshlib.replicated(mesh))
         print(f"mesh: {dict(mesh.shape)}")
+        if model_cfg.use_pallas_attention:
+            # GSPMD has no partitioning rule for pallas_call; the kernels
+            # are shard_mapped over the window axis instead (the mesh must
+            # be ambient for the in-model shard_map to resolve the axis)
+            import dataclasses as _dc
+
+            jax.set_mesh(mesh)
+            model_cfg = _dc.replace(model_cfg, pallas_shard_axis="data")
     step_fn = build_train_step(model_cfg, train_cfg, mesh)
 
     ckpt_base = os.path.join(args.checkpoint_dir, args.model_name)

@@ -92,6 +92,11 @@ class MetNet3Config:
     # (flash-style in-VMEM recompute) instead of the XLA-recompute VJP —
     # the training configuration of the kernel.
     use_pallas_attention_bwd: bool = False
+    # Mesh axis to shard_map the Pallas kernels over (multi-chip: GSPMD
+    # cannot partition pallas_call, so the kernels are manually sharded
+    # along the embarrassingly-parallel window axis).  Requires the mesh to
+    # be ambient (jax.set_mesh) and the batch divisible by the axis size.
+    pallas_shard_axis: Optional[str] = None
 
     @property
     def n_input_channels(self) -> int:

@@ -49,6 +49,10 @@ class MaxViTSpec:
     # With use_pallas: fused Pallas BACKWARD kernel too (training); the
     # default backward recomputes the XLA forward from saved inputs.
     use_pallas_bwd: bool = False
+    # Mesh axis name to shard_map the Pallas kernels over (multi-chip:
+    # GSPMD cannot partition pallas_call itself).  The caller must have the
+    # mesh ambient via jax.set_mesh.  None = single-device kernels.
+    pallas_shard_axis: Optional[str] = None
 
     def layer_dims(self):
         """Yield (dim_in, dim_out, downsample) per layer, reproducing the
@@ -103,11 +107,32 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
                                       or key is not None)
     if use_pallas:
         from vit_grid_model_tpu.ops.pallas.attention import (
-            window_attention_pallas, window_attention_pallas_fused)
+            window_attention_pallas, window_attention_pallas_fused,
+            window_attention_pallas_sharded)
 
         dropout_on = training and spec.dropout > 0.0 and key is not None
         # positional calls: custom_vjp functions reject keyword arguments
-        if spec.use_pallas_bwd:
+        if spec.pallas_shard_axis is not None:
+            # multi-chip: shard_map the kernels over the window axis of the
+            # ambient mesh (GSPMD cannot partition pallas_call); dropout
+            # seeds are decorrelated per shard inside the wrapper
+            seed, rate, dmask = None, 0.0, None
+            if dropout_on and spec.use_pallas_bwd:
+                seed = jax.random.randint(
+                    key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                rate = spec.dropout
+            elif dropout_on:
+                n_tok = tokens.shape[1]
+                keep = jax.random.bernoulli(
+                    key, 1.0 - spec.dropout,
+                    (tokens.shape[0], spec.heads, n_tok, n_tok))
+                dmask = (keep.astype(jnp.float32)
+                         / (1.0 - spec.dropout)).astype(tokens.dtype)
+            out = window_attention_pallas_sharded(
+                layer_p[which], tokens, cond, bias_idx, dmask, seed,
+                spec.heads, nwin, 8, rate, spec.pallas_shard_axis,
+                fused=spec.use_pallas_bwd)
+        elif spec.use_pallas_bwd:
             # fused-backward configuration: dropout keep-masks are sampled
             # INSIDE both kernels by a counter-based hash PRNG from a shared
             # scalar seed — no (windows, heads, n, n) mask in HBM

@@ -143,6 +143,7 @@ def _vit_spec(cfg: MetNet3Config) -> MaxViTSpec:
         num_register_tokens=cfg.num_register_tokens,
         use_pallas=cfg.use_pallas_attention,
         use_pallas_bwd=cfg.use_pallas_attention_bwd,
+        pallas_shard_axis=cfg.pallas_shard_axis,
     )
 
 

@@ -668,6 +668,59 @@ def _wap_fused_bwd(heads, windows_per_sample, block_windows, dropout_rate,
 window_attention_pallas_fused.defvjp(_wap_fused_fwd, _wap_fused_bwd)
 
 
+def window_attention_pallas_sharded(p, x: Array, cond: Optional[Array],
+                                    bias_indices: Array,
+                                    dropout_mask: Optional[Array],
+                                    seed: Optional[Array],
+                                    heads: int,
+                                    windows_per_sample: int,
+                                    block_windows: int,
+                                    dropout_rate: float,
+                                    axis: str,
+                                    fused: bool = True) -> Array:
+    """Multi-chip wrapper: ``shard_map`` the Pallas kernels over the window
+    axis of the ambient device mesh (set by the caller via ``jax.set_mesh``).
+
+    GSPMD has no partitioning rule for ``pallas_call`` — under a plain
+    ``jit`` over a >1-device mesh the kernel's operands would be
+    all-gathered and every chip would run every window.  The windows are
+    embarrassingly parallel (SURVEY §5), so manual sharding is trivial:
+
+    * ``x`` (Bw, n, dim) and ``dropout_mask`` shard on dim 0 — sample-major
+      window order means contiguous shards hold whole samples as long as
+      the sample batch divides the mesh axis (the callers' batch padding
+      guarantees this);
+    * ``cond`` shards on dim 0 with the same alignment;
+    * params and ``bias_indices`` are replicated — the ``shard_map``
+      transpose inserts the gradient ``psum`` automatically (verified by
+      tests/test_pallas_attention.py sharded-vs-single gradient equality);
+    * the dropout ``seed`` is replicated but decorrelated per shard by
+      folding in ``lax.axis_index`` — otherwise every chip would sample
+      the SAME keep-mask for its local windows, correlating dropout
+      across the data-parallel batch.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def body(p_, x_, cond_, bias_, mask_, seed_):
+        if seed_ is not None:
+            seed_ = seed_ + jax.lax.axis_index(axis).astype(jnp.int32) \
+                * jnp.int32(0x3C6EF35F)
+        if fused:
+            return window_attention_pallas_fused(
+                p_, x_, cond_, bias_, mask_, seed_, heads,
+                windows_per_sample, block_windows, dropout_rate)
+        return window_attention_pallas(
+            p_, x_, cond_, bias_, mask_, heads, windows_per_sample,
+            block_windows)
+
+    in_specs = (jax.tree.map(lambda _: P(), p), P(axis),
+                P() if cond is None else P(axis), P(),
+                P() if dropout_mask is None else P(axis), P())
+    return jax.shard_map(body, in_specs=in_specs, out_specs=P(axis),
+                         check_vma=False)(
+        p, x, cond, bias_indices, dropout_mask, seed)
+
+
 def _xla_equivalent(p, x, cond, bias_indices, dropout_mask, heads,
                     windows_per_sample):
     from vit_grid_model_tpu.ops.attention import attention
