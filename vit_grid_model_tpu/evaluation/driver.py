@@ -232,12 +232,31 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         B = simulation.shape[0]
         sim_vit = sim_stack_to_model_input(simulation, data_cfg.total_steps)
 
-        x, ts = jnp.asarray(sim_vit), jnp.asarray(raw_times)
-        if batch_shd is not None and B % n_data == 0:
-            x = jax.device_put(x, batch_shd)
-            ts = jax.device_put(ts, batch_shd)
+        pad_ragged = (batch_shd is not None
+                      and model_cfg.pallas_shard_axis is not None)
+        if pad_ragged and B % n_data != 0:
+            # the shard_mapped Pallas kernels need the window axis to
+            # divide the mesh, so the ragged final batch (drop_last=False
+            # like the reference) is padded with its last sample and the
+            # predictions sliced back.  Padding perturbs the real samples
+            # through the reference's batch-mixing time-embedding quirk
+            # (#11) — acceptable only here because the Pallas+mesh path is
+            # an opt-in throughput mode; the parity path below keeps the
+            # exact legacy behavior (ragged batch runs unsharded at its
+            # true size).
+            from vit_grid_model_tpu.parallel import mesh as meshlib
+
+            (sim_p, ts_p), _ = meshlib.pad_to_multiple(
+                (sim_vit, np.asarray(raw_times)), n_data)
+            x = jax.device_put(jnp.asarray(sim_p), batch_shd)
+            ts = jax.device_put(jnp.asarray(ts_p), batch_shd)
+        else:
+            x, ts = jnp.asarray(sim_vit), jnp.asarray(raw_times)
+            if batch_shd is not None and B % n_data == 0:
+                x = jax.device_put(x, batch_shd)
+                ts = jax.device_put(ts, batch_shd)
         preds = fwd(params, x, ts)
-        preds = np.asarray(preds).reshape(B, L, cells)
+        preds = np.asarray(preds)[:B].reshape(B, L, cells)
         preds = np.maximum(preds, 0.0)           # ``evaluation_vit.py:254``
         if np.isnan(preds).any():                # NaN guard (``:256``)
             raise FloatingPointError(
