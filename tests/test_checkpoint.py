@@ -35,7 +35,7 @@ def test_npz_key_mismatch_raises(tmp_path):
     params = _params()
     path = save_params(str(tmp_path / "m.npz"), params)
     wrong = {"different": np.zeros(3)}
-    with pytest.raises(AssertionError, match="key mismatch"):
+    with pytest.raises(ValueError, match="key mismatch"):
         restore_params(path, wrong)
 
 

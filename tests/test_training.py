@@ -102,16 +102,39 @@ def test_bf16_train_step_keeps_param_dtypes_and_npz_roundtrip(tmp_path):
 
 def test_save_params_casts_bf16_leaves(tmp_path):
     """Even if a pytree does carry bf16 leaves, .npz save stores them as f32
-    (exact) instead of numpy void, and they load back."""
+    (exact) instead of numpy void, and restore casts back to the ``like``
+    dtype so the pytree round-trips dtype-faithfully (review finding:
+    without the cast a bf16 model silently came back f32)."""
     from vit_grid_model_tpu.core.checkpoint import restore_params, save_params
 
     tree = {"w": jnp.asarray([1.5, -2.25], jnp.bfloat16),
             "b": jnp.asarray([0.5], jnp.float32)}
     path = save_params(str(tmp_path / "t.npz"), tree)
     back = restore_params(path, tree)
+    assert back["w"].dtype == jnp.bfloat16
+    assert back["b"].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(back["w"], np.float32),
                                   np.asarray(tree["w"], np.float32))
     np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(tree["b"]))
+
+
+def test_restore_train_state_ema_mismatch_message(tmp_path):
+    """Resuming with a different --ema_decay than the saved run raises a
+    targeted error naming the flag, not a bare key-mismatch assert."""
+    import pytest
+
+    from vit_grid_model_tpu.core.checkpoint import (restore_train_state,
+                                                    save_train_state)
+
+    cfg = _cfg()
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    tc_ema = TrainConfig(total_steps=2, warmup_steps=1, batch_size=1,
+                         ema_decay=0.99)
+    tc_plain = TrainConfig(total_steps=2, warmup_steps=1, batch_size=1)
+    state = init_train_state(params, tc_ema)
+    path = save_train_state(str(tmp_path / "s.npz"), state)
+    with pytest.raises(ValueError, match="ema_decay"):
+        restore_train_state(path, init_train_state(params, tc_plain))
 
 
 def test_loss_decreases_overfit():

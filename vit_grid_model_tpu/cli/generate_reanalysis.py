@@ -70,7 +70,11 @@ def main(argv=None) -> None:
         print("no checkpoint: random init (smoke mode)")
         params = metnet3_init(jax.random.PRNGKey(0), model_cfg)
 
-    mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1))
+    # a positive k < device count means "use a k-device subset" (same
+    # contract as the eval/train CLIs)
+    devs = (jax.devices()[:args.data_parallel]
+            if args.data_parallel > 0 else None)
+    mesh = meshlib.make_mesh(MeshConfig(data=n_dev, model=1), devices=devs)
     print(f"mesh: {dict(mesh.shape)}")
     if model_cfg.pallas_shard_axis is not None:
         jax.set_mesh(mesh)   # the in-model shard_map resolves the axis

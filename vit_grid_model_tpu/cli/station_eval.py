@@ -58,6 +58,13 @@ def main(argv=None) -> None:
         mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1),
                                  devices=devs)
         print(f"mesh: {dict(mesh.shape)}")
+        if model_cfg.use_pallas_attention:
+            # shard_map the Pallas kernels over the window axis (GSPMD has
+            # no partitioning rule for pallas_call); needs the ambient mesh
+            import dataclasses as _dc
+
+            jax.set_mesh(mesh)
+            model_cfg = _dc.replace(model_cfg, pallas_shard_axis="data")
     print(f"devices: {jax.devices()}")
     print(args)
 

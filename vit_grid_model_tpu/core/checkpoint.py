@@ -52,13 +52,27 @@ def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
 
 
 def restore_params(path: str, like: Any) -> Any:
-    """Restore into the structure of ``like`` (an initialized pytree)."""
+    """Restore into the structure of ``like`` (an initialized pytree).
+    Leaves are cast back to ``like``'s dtypes — the ``.npz`` writer stores
+    bf16 leaves as f32 (exact), so the cast closes that round trip."""
     if path.endswith(".npz"):
         data = np.load(path)
         ref = _flatten_with_paths(like)
-        assert set(data.files) == set(ref.keys()), "checkpoint key mismatch"
-        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-        leaves = [jax.numpy.asarray(data[_path_key(p)]) for p, _ in flat]
+        if set(data.files) != set(ref.keys()):
+            missing = sorted(set(ref) - set(data.files))[:5]
+            extra = sorted(set(data.files) - set(ref))[:5]
+            hint = ""
+            if any(k.startswith("ema_params") for k in missing + extra):
+                hint = (" (EMA leaves differ: the resume invocation's "
+                        "--ema_decay does not match the saved run's — pass "
+                        "the same --ema_decay as the original training run)")
+            raise ValueError(
+                f"checkpoint key mismatch restoring {path}{hint}: "
+                f"missing={missing} extra={extra}")
+        flat, _ = jax.tree_util.tree_flatten_with_path(like)
+        leaves = [jax.numpy.asarray(data[_path_key(p)],
+                                    dtype=getattr(l, "dtype", None))
+                  for p, l in flat]
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(like), leaves)
     import orbax.checkpoint as ocp

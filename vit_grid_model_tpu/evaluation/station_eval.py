@@ -145,12 +145,24 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
             break
         (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
          stn_cls) = batch
+        B = sim.shape[0]
         x = sim_stack_to_model_input(sim, data_cfg.total_steps)
+        if (batch_shd is not None
+                and model_cfg.pallas_shard_axis is not None
+                and B % n_data != 0):
+            # shard_mapped Pallas kernels need the window axis to divide
+            # the mesh: pad the ragged final batch, slice preds below
+            # (same trade as evaluation/driver.py — opt-in fast path only)
+            from vit_grid_model_tpu.parallel import mesh as meshlib
+
+            (x, rt_p), _ = meshlib.pad_to_multiple(
+                (x, np.asarray(raw_times)), n_data)
+            raw_times = rt_p
         xj, tj = jnp.asarray(x), jnp.asarray(raw_times)
         if batch_shd is not None and xj.shape[0] % n_data == 0:
             xj = jax.device_put(xj, batch_shd)
             tj = jax.device_put(tj, batch_shd)
-        preds = np.asarray(fwd(params, xj, tj))
+        preds = np.asarray(fwd(params, xj, tj))[:B]
         preds = np.maximum(preds, 0.0)   # eval clamp (evaluation_vit.py:254)
         del stn_cls   # -1 at valid stations (see StationMetrics.update)
         stn_preds = preds[:, :, rows, cols]          # (B, L, korea)

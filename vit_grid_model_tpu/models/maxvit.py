@@ -111,50 +111,37 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
             window_attention_pallas_sharded)
 
         dropout_on = training and spec.dropout > 0.0 and key is not None
+        # dropout randomness, one of two contracts:
+        # * fused backward: a scalar seed — keep-masks are sampled INSIDE
+        #   both kernels by the counter-based hash PRNG (no HBM mask);
+        # * XLA-recompute VJP: a pre-scaled keep mask sampled OUTSIDE, so
+        #   the recompute applies identical randomness.
+        seed, rate, dmask = None, 0.0, None
+        if dropout_on and spec.use_pallas_bwd:
+            seed = jax.random.randint(
+                key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            rate = spec.dropout
+        elif dropout_on:
+            n_tok = tokens.shape[1]
+            keep = jax.random.bernoulli(
+                key, 1.0 - spec.dropout,
+                (tokens.shape[0], spec.heads, n_tok, n_tok))
+            dmask = (keep.astype(jnp.float32)
+                     / (1.0 - spec.dropout)).astype(tokens.dtype)
         # positional calls: custom_vjp functions reject keyword arguments
         if spec.pallas_shard_axis is not None:
             # multi-chip: shard_map the kernels over the window axis of the
             # ambient mesh (GSPMD cannot partition pallas_call); dropout
             # seeds are decorrelated per shard inside the wrapper
-            seed, rate, dmask = None, 0.0, None
-            if dropout_on and spec.use_pallas_bwd:
-                seed = jax.random.randint(
-                    key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-                rate = spec.dropout
-            elif dropout_on:
-                n_tok = tokens.shape[1]
-                keep = jax.random.bernoulli(
-                    key, 1.0 - spec.dropout,
-                    (tokens.shape[0], spec.heads, n_tok, n_tok))
-                dmask = (keep.astype(jnp.float32)
-                         / (1.0 - spec.dropout)).astype(tokens.dtype)
             out = window_attention_pallas_sharded(
                 layer_p[which], tokens, cond, bias_idx, dmask, seed,
                 spec.heads, nwin, 8, rate, spec.pallas_shard_axis,
                 fused=spec.use_pallas_bwd)
         elif spec.use_pallas_bwd:
-            # fused-backward configuration: dropout keep-masks are sampled
-            # INSIDE both kernels by a counter-based hash PRNG from a shared
-            # scalar seed — no (windows, heads, n, n) mask in HBM
-            seed, rate = None, 0.0
-            if dropout_on:
-                seed = jax.random.randint(
-                    key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-                rate = spec.dropout
             out = window_attention_pallas_fused(
                 layer_p[which], tokens, cond, bias_idx, None, seed,
                 spec.heads, nwin, 8, rate)
         else:
-            # forward-only kernel (XLA-recompute VJP): the mask is sampled
-            # OUTSIDE so the recompute applies identical randomness
-            dmask = None
-            if dropout_on:
-                n_tok = tokens.shape[1]
-                keep = jax.random.bernoulli(
-                    key, 1.0 - spec.dropout,
-                    (tokens.shape[0], spec.heads, n_tok, n_tok))
-                dmask = (keep.astype(jnp.float32)
-                         / (1.0 - spec.dropout)).astype(tokens.dtype)
             out = window_attention_pallas(
                 layer_p[which], tokens, cond, bias_idx, dmask, spec.heads,
                 nwin)

@@ -241,6 +241,10 @@ def window_attention_pallas(p, x: Array, cond: Optional[Array],
 def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
                                heads, windows_per_sample, block_windows,
                                seed, dropout_rate, emit_mask):
+    if emit_mask and dropout_rate <= 0.0:
+        # the mask output block is only written on the dropout branch;
+        # without it the second output would be uninitialized VMEM
+        raise ValueError("emit_mask requires dropout_rate > 0")
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
