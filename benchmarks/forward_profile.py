@@ -1,0 +1,96 @@
+"""Forward/step decomposition + serving latency on one TPU chip.
+
+Three numbers that frame the training-step economics (docs/RESULTS.md):
+
+* eval-mode forward at the train geometry — the irreducible forward;
+* training-mode forward (+ in-kernel dropout sampling + BN-stat
+  collection) — the delta is the cost of training-mode extras;
+* B=1 serving latency at the shipped 12hr config (fast mode) — the
+  latency floor for one full 12-lead forecast.
+
+(The full train step is measured by benchmarks/train_step.py; together:
+fwd 54.5 -> train-fwd 62.4 -> step 91.1 ms at B=4, i.e. the fused Pallas
+backward + AdamW add only ~29 ms.)
+
+Axon-rig hazards handled per docs/RESULTS.md (warmup discard, scalar
+host readback to close each timing window).
+
+Usage:  PYTHONPATH=. python benchmarks/forward_profile.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_grid_model_tpu.core.config import (MetNet3Config,
+                                            shipped_12hr_model_config)
+from vit_grid_model_tpu.models.metnet3 import metnet3_apply, metnet3_init
+
+
+def timeit(fn, iters=20, warm=6):
+    for _ in range(warm):
+        r = fn()
+    _ = float(jnp.sum(r.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+        _ = float(jnp.sum(r.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    out = {"metric": "forward_profile_ms"}
+
+    # train geometry (13 -> 12, hidden 128), --fast kernels, B=4
+    cfg = MetNet3Config(
+        window_size=13, n_variables=24, n_start_channels=128,
+        end_lead_time=12, pm25_mean=22.5, pm25_std=15.5, dropout=0.1,
+        compute_dtype="bfloat16", fuse_lead_stem=True,
+        use_pallas_attention=True, use_pallas_attention_bwd=True)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    x = jax.device_put(rng.random((4, 13, 24, 82, 67),
+                                  dtype=np.float32) * 50)
+    ts = jax.device_put(np.tile(np.asarray([2023., 1., 15., 6.],
+                                           np.float32), (4, 25, 1)))
+    _ = float(x.sum())
+    efwd = jax.jit(lambda p, a, b: metnet3_apply(p, a, b, cfg))
+    out["eval_fwd_b4_train_geom"] = round(
+        timeit(lambda: efwd(params, x, ts)), 2)
+
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def tfwd(p, a, b):
+        preds = metnet3_apply(p, a, b, cfg, training=True, rng=key)
+        if isinstance(preds, tuple):
+            preds = preds[0]
+        return preds
+
+    out["train_fwd_b4"] = round(timeit(lambda: tfwd(params, x, ts)), 2)
+
+    # serving latency: shipped 12hr config, fast mode, B=1
+    scfg = dataclasses.replace(
+        shipped_12hr_model_config(pm25_mean=22.5, pm25_std=12.3),
+        compute_dtype="bfloat16", fuse_lead_stem=True,
+        use_pallas_attention=True)
+    sp = metnet3_init(jax.random.PRNGKey(0), scfg)
+    x1 = jax.device_put(rng.random((1, 25, 24, 82, 67),
+                                   dtype=np.float32) * 50)
+    ts1 = jax.device_put(np.tile(np.asarray([2023., 1., 15., 6.],
+                                            np.float32), (1, 25, 1)))
+    _ = float(x1.sum())
+    sfwd = jax.jit(lambda p, a, b: metnet3_apply(p, a, b, scfg))
+    out["serving_b1_12leads"] = round(timeit(lambda: sfwd(sp, x1, ts1)), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
