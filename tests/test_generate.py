@@ -66,3 +66,23 @@ def test_generate_sharded_matches_single(tree, tmp_path):
         b = np.load(out2 / f)
         assert a.shape == (82, 67)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+def test_generate_cli_subset_mesh(tree, tmp_path):
+    """Review fix: a positive --data_parallel k smaller than the device
+    count must build a k-device subset mesh (it used to crash make_mesh's
+    coverage check, unlike the sibling eval/train CLIs)."""
+    from vit_grid_model_tpu.cli import generate_reanalysis as cli
+
+    out = tmp_path / "cli_out"
+    cli.main([
+        "--data_path", tree["data_path"],
+        "--sim_data_path", tree["sim_data_path"],
+        "--analysis_data_path", tree["analysis_data_path"],
+        "--input_dim", "2", "--output_dim", "2", "--prev_len", "3",
+        "--hidden_dim", "16", "--batch_size", "4", "--data_parallel", "2",
+        "--compute_dtype", "float32",
+        "--start", "2023-03-01T00", "--end", "2023-03-01T12",
+        "--out_dir", str(out),
+    ])
+    assert len(os.listdir(out)) > 0
