@@ -361,6 +361,13 @@ def test_pallas_in_kernel_dropout_matches_xla_with_extracted_mask():
     assert np.all((m == 0.0) | np.isclose(m, 1.0 / (1.0 - rate), rtol=1e-6))
     frac_dropped = float((np.asarray(mask) == 0).mean())
     assert abs(frac_dropped - rate) < 0.02
+    # hash decorrelation: every head and every window draws a distinct
+    # mask (the index mix covers (window, head, row, col)), and the drop
+    # fraction holds per head, not just globally
+    for h in range(mask.shape[1]):
+        assert abs(float((m[:, h] == 0).mean()) - rate) < 0.05, h
+    assert not np.array_equal(m[:, 0], m[:, 1])
+    assert not np.array_equal(m[0], m[1])
 
     ref = attention(p, x, cond, bias_idx, heads=4, windows_per_sample=3,
                     dropout_mask=mask)
