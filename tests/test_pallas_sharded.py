@@ -160,3 +160,28 @@ def test_full_train_step_sharded_matches_single_device():
             a = np.asarray(a, np.float32)
             rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-9)
             assert rel < 1e-4, rel
+
+
+def test_sharded_forward_only_kernel_matches_single_device():
+    """The eval configuration shard_maps the forward-only kernel
+    (fused=False, XLA-recompute VJP) — the path `evaluation_vit --fast
+    --data_parallel N` takes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.ops.pallas.attention import (
+        window_attention_pallas, window_attention_pallas_sharded)
+
+    p, x, cond, bias_idx = _inputs()
+    with pltpu.force_tpu_interpret_mode():
+        y1 = np.asarray(window_attention_pallas(
+            p, x, cond, bias_idx, None, 4, 3))
+
+    mesh = jax.make_mesh((4,), ("data",))
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        conds = jax.device_put(cond, NamedSharding(mesh, P("data")))
+        with pltpu.force_tpu_interpret_mode():
+            y2 = jax.jit(lambda pp, xx: window_attention_pallas_sharded(
+                pp, xx, conds, bias_idx, None, None, 4, 3, 8, 0.0, "data",
+                fused=False))(p, xs)
+    np.testing.assert_allclose(np.asarray(y2), y1, rtol=2e-5, atol=1e-6)
