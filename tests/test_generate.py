@@ -86,3 +86,22 @@ def test_generate_cli_subset_mesh(tree, tmp_path):
         "--out_dir", str(out),
     ])
     assert len(os.listdir(out)) > 0
+
+
+def test_generate_bf16_staging_runs(tree, tmp_path):
+    """Fast-mode generation stages inputs in bf16 on the host (halved
+    host->device transfer); fields still write and stay finite."""
+    import dataclasses
+
+    data_cfg, model_cfg = _cfgs(tree)
+    model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16")
+    params = metnet3_init(jax.random.PRNGKey(0), model_cfg)
+    out = tmp_path / "bf16"
+    n = generate_reanalysis(params, model_cfg, data_cfg,
+                            start=datetime(2023, 3, 1, 0),
+                            end=datetime(2023, 3, 1, 12),
+                            out_dir=str(out), batch_size=4, mesh=None,
+                            progress=False)
+    assert n > 0
+    sample = np.load(os.path.join(out, sorted(os.listdir(out))[0]))
+    assert np.isfinite(sample).all()

@@ -147,6 +147,10 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
          stn_cls) = batch
         B = sim.shape[0]
         x = sim_stack_to_model_input(sim, data_cfg.total_steps)
+        if model_cfg.compute_dtype == "bfloat16":
+            # host-side bf16 staging halves the dominant transfer (the
+            # device would cast x to the compute dtype anyway)
+            x = x.astype(jnp.bfloat16)
         if (batch_shd is not None
                 and model_cfg.pallas_shard_axis is not None
                 and B % n_data != 0):
