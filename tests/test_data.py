@@ -338,3 +338,23 @@ def test_fault_injection_through_dataset(tree):
     np.testing.assert_allclose(sim[:, :, 0], -co_mean / co_std, rtol=1e-5)
     # other cycles unaffected
     assert np.abs(sim[:, :, 6:12]).sum() > 0
+
+
+def test_cycle_refs_invariants_hypothesis():
+    """Property sweep over arbitrary datetimes (leap days, year/month
+    rollovers): init + lead == valid time and lead >= 3 always hold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.datetimes(min_value=datetime(1980, 1, 1),
+                        max_value=datetime(2100, 12, 31)))
+    def check(t):
+        t = t.replace(minute=0, second=0, microsecond=0)
+        for ref in TU.cycle_refs(t):
+            init = datetime(ref.date.year, ref.date.month, ref.date.day,
+                            ref.cycle)
+            assert init + timedelta(hours=ref.lead) == t, (t, ref)
+            assert 3 <= ref.lead <= 50
+
+    check()
