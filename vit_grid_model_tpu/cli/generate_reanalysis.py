@@ -30,7 +30,7 @@ def main(argv=None) -> None:
     import jax
 
     from vit_grid_model_tpu.core.config import (DataConfig, GridConfig,
-                                                MeshConfig, MetNet3Config)
+                                                MetNet3Config)
     from vit_grid_model_tpu.evaluation import driver as eval_driver
     from vit_grid_model_tpu.evaluation.generate import generate_reanalysis
     from vit_grid_model_tpu.parallel import mesh as meshlib
@@ -41,18 +41,15 @@ def main(argv=None) -> None:
         data_path=args.data_path, sim_data_path=args.sim_data_path,
         analysis_data_path=args.analysis_data_path)
     feat_infos = eval_driver.load_feat_infos(args.data_path)
-    # GSPMD has no partitioning rule for pallas_call: on a >1-device mesh
-    # the kernels are shard_mapped over the window axis (the mesh is made
-    # ambient below when it is constructed)
-    n_dev = (len(jax.devices()) if args.data_parallel == -1
-             else args.data_parallel)
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, fuse_lead_stem=True,
-        use_pallas_attention=args.pallas,
-        pallas_shard_axis=("data" if args.pallas and n_dev > 1 else None))
+        use_pallas_attention=args.pallas)
+    # shared --data_parallel contract; sets the ambient mesh +
+    # pallas_shard_axis when the Pallas kernels meet a >1-device mesh
+    mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg)
 
     if args.checkpoint and args.checkpoint.endswith(".pkt"):
         from vit_grid_model_tpu.core.torch_import import convert_checkpoint
@@ -70,14 +67,6 @@ def main(argv=None) -> None:
         print("no checkpoint: random init (smoke mode)")
         params = metnet3_init(jax.random.PRNGKey(0), model_cfg)
 
-    # a positive k < device count means "use a k-device subset" (same
-    # contract as the eval/train CLIs)
-    devs = (jax.devices()[:args.data_parallel]
-            if args.data_parallel > 0 else None)
-    mesh = meshlib.make_mesh(MeshConfig(data=n_dev, model=1), devices=devs)
-    print(f"mesh: {dict(mesh.shape)}")
-    if model_cfg.pallas_shard_axis is not None:
-        jax.set_mesh(mesh)   # the in-model shard_map resolves the axis
     n = generate_reanalysis(
         params, model_cfg, data_cfg,
         start=datetime.fromisoformat(args.start),

@@ -50,21 +50,9 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.data_parallel != 1:
-        from vit_grid_model_tpu.core.config import MeshConfig
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
-        devs = (jax.devices()[:args.data_parallel]
-                if args.data_parallel > 0 else None)
-        mesh = meshlib.make_mesh(MeshConfig(data=args.data_parallel, model=1),
-                                 devices=devs)
-        print(f"mesh: {dict(mesh.shape)}")
-        if model_cfg.use_pallas_attention:
-            # shard_map the Pallas kernels over the window axis (GSPMD has
-            # no partitioning rule for pallas_call); needs the ambient mesh
-            import dataclasses as _dc
-
-            jax.set_mesh(mesh)
-            model_cfg = _dc.replace(model_cfg, pallas_shard_axis="data")
+        mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg)
     print(f"devices: {jax.devices()}")
     print(args)
 

@@ -196,26 +196,12 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.data_parallel != 1:
-        from vit_grid_model_tpu.core.config import MeshConfig
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
-        # a positive k < device count means "use a k-device subset"
-        devs = (jax.devices()[:args.data_parallel]
-                if args.data_parallel > 0 else None)
-        mesh = meshlib.make_mesh(
-            MeshConfig(data=args.data_parallel, model=1), devices=devs)
+        mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg)
         if args.batch_size % mesh.shape["data"] != 0:
             raise ValueError("batch_size must divide over the data axis")
         state = jax.device_put(state, meshlib.replicated(mesh))
-        print(f"mesh: {dict(mesh.shape)}")
-        if model_cfg.use_pallas_attention:
-            # GSPMD has no partitioning rule for pallas_call; the kernels
-            # are shard_mapped over the window axis instead (the mesh must
-            # be ambient for the in-model shard_map to resolve the axis)
-            import dataclasses as _dc
-
-            jax.set_mesh(mesh)
-            model_cfg = _dc.replace(model_cfg, pallas_shard_axis="data")
     step_fn = build_train_step(model_cfg, train_cfg, mesh)
 
     ckpt_base = os.path.join(args.checkpoint_dir, args.model_name)

@@ -147,6 +147,18 @@ def sim_stack_to_model_input(simulation: np.ndarray, total_steps: int
     return np.ascontiguousarray(x)
 
 
+def host_stage_dtype(x: np.ndarray, compute_dtype: str) -> np.ndarray:
+    """Cast a model input to the compute dtype on the HOST when it is
+    bf16: the device would cast it anyway (same round-to-nearest), and
+    half-size buffers halve the dominant host->device transfer.  Shared
+    by the eval/generation/station staging paths."""
+    if compute_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        return x.astype(jnp.bfloat16)
+    return x
+
+
 RANGE_4CLASS = ((-1.0, 15.0), (15.0, 35.0), (35.0, 75.0), (75.0, np.inf))
 CLASS_FOUR = (0, 1, 2, 3)
 

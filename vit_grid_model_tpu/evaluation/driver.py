@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+from vit_grid_model_tpu.data.assembly import (host_stage_dtype,
+                                              sim_stack_to_model_input)
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.readers import _read_netcdf_var
@@ -233,13 +234,9 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         host->HBM transfer with the forward."""
         simulation, _, _, _, raw_times, _ = batch
         B = simulation.shape[0]
-        sim_vit = sim_stack_to_model_input(simulation,
-                                           data_cfg.total_steps)
-        if model_cfg.compute_dtype == "bfloat16":
-            # bf16 compute casts x on device anyway; casting on host
-            # instead halves the dominant host->device transfer (the
-            # round-to-nearest cast is the same either side)
-            sim_vit = sim_vit.astype(jnp.bfloat16)
+        sim_vit = host_stage_dtype(
+            sim_stack_to_model_input(simulation, data_cfg.total_steps),
+            model_cfg.compute_dtype)
         pad_ragged = (batch_shd is not None
                       and model_cfg.pallas_shard_axis is not None)
         if pad_ragged and B % n_data != 0:

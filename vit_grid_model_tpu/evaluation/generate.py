@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+from vit_grid_model_tpu.data.assembly import (host_stage_dtype,
+                                              sim_stack_to_model_input)
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
 from vit_grid_model_tpu.data.pipeline import BatchLoader, device_prefetch
 from vit_grid_model_tpu.data.timeutil import eval_time_list
@@ -80,10 +81,7 @@ def generate_reanalysis(params, model_cfg: MetNet3Config,
         # so outputs are only reproducible under a fixed batch composition.
         (x, raw_times), real = meshlib.pad_to_multiple((x, raw_times),
                                                         batch_size)
-        if model_cfg.compute_dtype == "bfloat16":
-            # bf16 compute casts x on device anyway; casting on host
-            # halves the dominant host->device transfer
-            x = x.astype(jnp.bfloat16)
+        x = host_stage_dtype(x, model_cfg.compute_dtype)
         if mesh is not None:
             return (jax.device_put(jnp.asarray(x), bsh),
                     jax.device_put(jnp.asarray(raw_times), bsh), real)

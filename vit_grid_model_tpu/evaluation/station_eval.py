@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+from vit_grid_model_tpu.data.assembly import (host_stage_dtype,
+                                              sim_stack_to_model_input)
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetByStn
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.timeutil import eval_time_list
@@ -146,11 +147,9 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
         (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
          stn_cls) = batch
         B = sim.shape[0]
-        x = sim_stack_to_model_input(sim, data_cfg.total_steps)
-        if model_cfg.compute_dtype == "bfloat16":
-            # host-side bf16 staging halves the dominant transfer (the
-            # device would cast x to the compute dtype anyway)
-            x = x.astype(jnp.bfloat16)
+        x = host_stage_dtype(
+            sim_stack_to_model_input(sim, data_cfg.total_steps),
+            model_cfg.compute_dtype)
         if (batch_shd is not None
                 and model_cfg.pallas_shard_axis is not None
                 and B % n_data != 0):

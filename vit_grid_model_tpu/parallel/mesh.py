@@ -40,6 +40,27 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
     return Mesh(arr, cfg.axis_names)
 
 
+def mesh_for_cli(data_parallel: int, model_cfg=None):
+    """The CLIs' shared ``--data_parallel`` contract in one place
+    (previously copy-pasted per CLI, which is how station-eval silently
+    missed the Pallas wiring): ``-1`` = all devices, ``k > 0`` = a
+    k-device subset.  When ``model_cfg`` selects the Pallas kernels and
+    the mesh spans more than one device, the mesh is made ambient
+    (``jax.set_mesh``) and ``pallas_shard_axis`` is set so the in-model
+    ``shard_map`` partitions the kernels (GSPMD cannot partition
+    ``pallas_call``).  Returns ``(mesh, model_cfg)``."""
+    devs = jax.devices()[:data_parallel] if data_parallel > 0 else None
+    mesh = make_mesh(MeshConfig(data=data_parallel, model=1), devices=devs)
+    print(f"mesh: {dict(mesh.shape)}")
+    if (model_cfg is not None and model_cfg.use_pallas_attention
+            and mesh.size > 1):
+        import dataclasses
+
+        jax.set_mesh(mesh)
+        model_cfg = dataclasses.replace(model_cfg, pallas_shard_axis="data")
+    return mesh, model_cfg
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading batch axis across 'data'; everything else local."""
     return NamedSharding(mesh, P("data"))
