@@ -50,6 +50,46 @@ def test_losses_basics():
     assert float(L.focal_r_loss(p, p)) < 1e-6
 
 
+def test_focal_r_weight_curve():
+    """Pin the canonical focusing factor: (2*sigmoid(beta|e|)-1)^gamma —
+    exactly 0 at e=0, strictly monotone in |e|, -> 1 for large errors; the
+    legacy 'sigmoid' form stays flag-gated with its [0.5, 1) range."""
+    e = jnp.linspace(0.0, 200.0, 401)
+    w = np.asarray(L.focal_r_weight(e, beta=0.2, gamma=1.0))
+    assert w[0] == 0.0                        # zero error -> zero weight
+    assert np.all(np.diff(w) >= -1e-6)        # monotone (f32 rounding) ...
+    assert np.all(np.diff(w[w < 0.99]) > 0)   # ... strictly below saturation
+    assert w[-1] > 0.999                      # saturates to 1
+    # matches the algebraic form 2*sigmoid(beta*e) - 1
+    ref = 2.0 / (1.0 + np.exp(-0.2 * np.asarray(e))) - 1.0
+    np.testing.assert_allclose(w, ref, rtol=1e-6, atol=1e-7)
+    # gamma exponentiates the factor
+    w2 = np.asarray(L.focal_r_weight(e, beta=0.2, gamma=2.0))
+    np.testing.assert_allclose(w2, w ** 2, rtol=1e-6, atol=1e-7)
+    # symmetric in the sign of the error
+    np.testing.assert_allclose(
+        np.asarray(L.focal_r_weight(-e, beta=0.2, gamma=1.0)), w,
+        rtol=1e-6, atol=1e-7)
+    # legacy form: range [0.5, 1), never below half weight
+    wl = np.asarray(L.focal_r_weight(e, beta=0.2, gamma=1.0,
+                                     focusing="sigmoid"))
+    assert wl[0] == 0.5 and np.all(wl >= 0.5)
+    assert np.all(np.diff(wl[wl < 0.99]) > 0)
+    with pytest.raises(ValueError):
+        L.focal_r_weight(e, focusing="nope")
+
+
+def test_focal_r_loss_focusing_forms():
+    p = jnp.asarray([1.0, 1.0, 1.0])
+    t = jnp.asarray([1.0, 2.0, 40.0])
+    canon = float(L.focal_r_loss(p, t, base="l1"))
+    legacy = float(L.focal_r_loss(p, t, base="l1", focusing="sigmoid"))
+    # the canonical factor down-weights the easy cells harder
+    assert canon < legacy
+    # exact zero loss at exact fit under the canonical form
+    assert float(L.focal_r_loss(p, p)) == 0.0
+
+
 def test_pm_class_cross_entropy():
     logits = jnp.zeros((2, 3, 4))          # uniform -> -log(1/4)
     targets = jnp.asarray([[10.0, 20.0, jnp.nan], [40.0, 80.0, 90.0]])

@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["focal_r", "mse", "mae", "huber"])
     p.add_argument("--focal_beta", type=float, default=0.2)
     p.add_argument("--focal_gamma", type=float, default=1.0)
+    p.add_argument("--focal_focusing", type=str, default="canonical",
+                   choices=["canonical", "sigmoid"],
+                   help="Focal-R focusing factor: canonical "
+                        "(2*sigmoid(beta|e|)-1)^gamma (authors' released "
+                        "form, ->0 at e=0) or the legacy in-text sigmoid "
+                        "form ([0.5,1); at most 2x down-weighting)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--dropout", type=float, default=0.1,
@@ -61,8 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="throughput mode for training: bf16 + fused lead "
                         "stem + fused Pallas attention forward AND backward "
-                        "(measured-best train config: 106 ms/step vs 143.9 "
-                        "pure-XLA f32-stem at flagship B=4)")
+                        "with in-kernel dropout (measured-best train config: "
+                        "91.1 ms/step vs 147.0 pure-XLA at flagship B=4; "
+                        "see docs/RESULTS.md)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
     p.add_argument("--checkpoint_dir", type=str, default="check_points")
@@ -161,6 +168,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps, total_steps=args.steps,
         batch_size=args.batch_size, loss=args.loss,
         focal_beta=args.focal_beta, focal_gamma=args.focal_gamma,
+        focal_focusing=args.focal_focusing,
         remat=args.remat, seed=args.seed, ema_decay=args.ema_decay)
 
     times = eval_time_list(train_start, train_end, args.prev_len,

@@ -155,6 +155,8 @@ class TrainConfig:
     grad_clip_norm: float = 1.0
     focal_gamma: float = 1.0       # Focal-R activation exponent
     focal_beta: float = 0.2        # scaling of |error| inside the focal weight
+    focal_focusing: str = "canonical"  # canonical (2*sigma-1)^g | sigmoid
+                                   # (legacy [0.5,1) form; see losses.py)
     loss: str = "focal_r"          # focal_r | mse | mae | huber
     ema_decay: float = 0.0         # >0: keep an EMA copy of params
                                    # (TrainState.ema_params), saved as

@@ -9,8 +9,14 @@ all of them, NaN-aware and jit-friendly.
 
 Focal-R (Yang et al., Delving into Deep Imbalanced Regression, ICML 2021):
 continuous analogue of the focal loss — scale each example's L1/L2 error by
-``sigma(|beta * e|) ** gamma`` so easy (small-error) examples are
-down-weighted and the rare high-PM events dominate the gradient.
+a focusing factor in [0, 1) that vanishes as the error -> 0, so easy
+(small-error) examples are down-weighted and the rare high-PM events
+dominate the gradient.  The canonical factor (the authors' released
+implementation) is ``(2 * sigma(beta * |e|) - 1) ** gamma``: exactly 0 at
+e = 0, monotone in |e|, -> 1 for large errors.  The paper's in-text formula
+(``sigma(|beta e|) ** gamma``, which lives in [0.5, 1) and therefore never
+down-weights below half) is kept flag-gated as ``focusing="sigmoid"`` for
+reproducibility of earlier runs.
 """
 
 from __future__ import annotations
@@ -37,14 +43,37 @@ def _nan_mask(targets: Array, mask: Optional[Array]) -> tuple:
     return targets, m
 
 
+def focal_r_weight(err: Array, *, beta: float = 0.2, gamma: float = 1.0,
+                   focusing: str = "canonical") -> Array:
+    """The Focal-R focusing factor on a signed error.
+
+    ``canonical`` (default): ``(2*sigma(beta*|e|) - 1)^gamma`` — range
+    [0, 1), zero at e=0, so easy examples vanish from the gradient.
+    ``sigmoid`` (legacy, the paper's ambiguous in-text form):
+    ``sigma(|beta*e|)^gamma`` — range [0.5, 1), down-weights at most 2x.
+    """
+    ae = jnp.abs(beta * err)
+    if focusing == "canonical":
+        # 2*sigmoid(x) - 1 == tanh(x/2): use tanh for one fewer op and
+        # better numerics near zero
+        w = jnp.tanh(0.5 * ae)
+    elif focusing == "sigmoid":
+        w = jax.nn.sigmoid(ae)
+    else:
+        raise ValueError(f"unknown focal focusing form: {focusing!r}")
+    return w ** gamma
+
+
 def focal_r_loss(preds: Array, targets: Array, *,
                  mask: Optional[Array] = None, beta: float = 0.2,
-                 gamma: float = 1.0, base: str = "l1") -> Array:
-    """Focal-R: ``sigma(|beta * e|)^gamma * |e|^p`` averaged over valid
-    cells; ``base`` selects L1 (p=1) or MSE (p=2)."""
+                 gamma: float = 1.0, base: str = "l1",
+                 focusing: str = "canonical") -> Array:
+    """Focal-R: focusing factor times ``|e|^p`` averaged over valid cells;
+    ``base`` selects L1 (p=1) or MSE (p=2); see :func:`focal_r_weight` for
+    the two focusing forms."""
     targets, m = _nan_mask(targets, mask)
     err = preds - targets
-    weight = jax.nn.sigmoid(jnp.abs(beta * err)) ** gamma
+    weight = focal_r_weight(err, beta=beta, gamma=gamma, focusing=focusing)
     core = jnp.abs(err) if base == "l1" else jnp.square(err)
     return _masked_mean(weight * core, m)
 

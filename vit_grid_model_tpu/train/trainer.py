@@ -111,7 +111,8 @@ def build_train_step(model_cfg: MetNet3Config, train_cfg: TrainConfig,
     """
     loss_kw = {}
     if train_cfg.loss == "focal_r":
-        loss_kw = dict(beta=train_cfg.focal_beta, gamma=train_cfg.focal_gamma)
+        loss_kw = dict(beta=train_cfg.focal_beta, gamma=train_cfg.focal_gamma,
+                       focusing=train_cfg.focal_focusing)
     elif train_cfg.loss == "huber":
         loss_kw = dict(delta=10.0)
     loss_fn_core = L.make_loss(train_cfg.loss, **loss_kw)
