@@ -45,3 +45,33 @@ def test_orbax_roundtrip(tmp_path):
     path = save_params(str(tmp_path / "ckpt"), params)
     restored = restore_params(path, jax.tree.map(lambda x: x * 0, params))
     _assert_tree_equal(params, restored)
+
+
+def test_npz_bf16_roundtrip_no_warning(tmp_path):
+    """bf16 leaves are widened to f32 on disk; restoring into the original
+    bf16 pytree closes the round trip exactly and silently."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    params = {"w": jnp.asarray([1.5, -2.25, 3.0], jnp.bfloat16),
+              "b": jnp.asarray([0.5], jnp.float32)}
+    path = save_params(str(tmp_path / "bf16.npz"), params)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        restored = restore_params(path, jax.tree.map(lambda x: x * 0, params))
+    assert restored["w"].dtype == jnp.bfloat16
+    _assert_tree_equal(params, restored)
+
+
+def test_npz_lossy_restore_warns(tmp_path):
+    """A genuine f32 checkpoint restored into a bf16-typed pytree is a
+    precision-losing cast and must warn (round-2 advisor finding)."""
+    import jax.numpy as jnp
+
+    params = {"w": jnp.asarray([1.0000001, 2.0], jnp.float32)}
+    path = save_params(str(tmp_path / "f32.npz"), params)
+    like = {"w": jnp.zeros((2,), jnp.bfloat16)}
+    with pytest.warns(UserWarning, match="lossy"):
+        restored = restore_params(path, like)
+    assert restored["w"].dtype == jnp.bfloat16

@@ -447,3 +447,27 @@ def test_pallas_unconditioned_ln_affine():
     rel = np.abs(np.asarray(ours) - np.asarray(ref)).max() / (
         np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < 2e-5, rel
+
+
+def test_dropout_mask_and_seed_mutually_exclusive():
+    """Passing both an external dropout_mask and an in-kernel (seed, rate)
+    pair must raise — the seed branch would silently win (round-2 advisor
+    finding)."""
+    import jax.numpy as jnp
+
+    from vit_grid_model_tpu.ops.pallas.attention import (
+        _window_attention_bwd_impl, _window_attention_fwd_impl)
+
+    key = jax.random.PRNGKey(0)
+    p = attention_init(key, 32, cond_dim=None, heads=4, dim_head=8,
+                       window_size=7, num_registers=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 53, 32))
+    bias_idx = relative_position_indices(7, 4)
+    mask = jnp.ones((2, 4, 53, 53))
+    seed = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="not both"):
+        _window_attention_fwd_impl(p, x, None, bias_idx, mask, 4, 1, 8,
+                                   seed, 0.1, False)
+    with pytest.raises(ValueError, match="not both"):
+        _window_attention_bwd_impl(p, x, None, bias_idx, mask,
+                                   jnp.zeros_like(x), 4, 1, 8, seed, 0.1)

@@ -92,3 +92,49 @@ def test_mesh_subset_of_devices():
     devs = jax.devices()[:2]
     mesh = meshlib.make_mesh(MeshConfig(data=2, model=1), devices=devs)
     assert dict(mesh.shape) == {"data": 2, "model": 1}
+
+
+def test_validate_pallas_mesh_rejects_tensor_parallel():
+    """use_pallas_attention on a >1 'model' axis mesh must fail loudly
+    instead of silently running XLA attention (round-2 verdict item 9)."""
+    import pytest
+
+    from vit_grid_model_tpu.core.config import MetNet3Config
+
+    mesh = meshlib.make_mesh(MeshConfig(data=4, model=2))
+    cfg = MetNet3Config(window_size=2, n_variables=24, n_start_channels=8,
+                        end_lead_time=2, n_heads=2, dim_head=4,
+                        use_pallas_attention=True)
+    with pytest.raises(ValueError, match="model"):
+        meshlib.validate_pallas_mesh(mesh, cfg)
+    # fine without the kernel flag, on a data-only mesh, or with no cfg
+    meshlib.validate_pallas_mesh(
+        mesh, MetNet3Config(window_size=2, n_variables=24,
+                            n_start_channels=8, end_lead_time=2,
+                            n_heads=2, dim_head=4))
+    meshlib.validate_pallas_mesh(
+        meshlib.make_mesh(MeshConfig(data=8, model=1)), cfg)
+    meshlib.validate_pallas_mesh(mesh, None)
+
+
+def test_mesh_for_cli_batch_divisibility():
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        meshlib.mesh_for_cli(8, None, batch_size=3)
+    mesh, _ = meshlib.mesh_for_cli(8, None, batch_size=16)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+
+
+def test_train_step_rejects_pallas_on_tensor_parallel_mesh():
+    import pytest
+
+    from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
+    from vit_grid_model_tpu.train.trainer import build_train_step
+
+    mesh = meshlib.make_mesh(MeshConfig(data=4, model=2))
+    cfg = MetNet3Config(window_size=2, n_variables=24, n_start_channels=8,
+                        end_lead_time=2, n_heads=2, dim_head=4,
+                        use_pallas_attention=True)
+    with pytest.raises(ValueError, match="model"):
+        build_train_step(cfg, TrainConfig(), mesh)

@@ -317,3 +317,11 @@ def test_class_head_outputs():
     # midpoint decoding lands on the documented class values
     vals = np.unique(np.asarray(out["predicted_pm25"]))
     assert set(vals) <= {7.5, 25.0, 55.0, 75.0}
+
+
+def test_config_rejects_bwd_flag_without_fwd():
+    """use_pallas_attention_bwd alone has no effect (maxvit gates on the
+    forward flag) — constructing that combination must raise."""
+    with pytest.raises(ValueError, match="use_pallas_attention"):
+        MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
+                      end_lead_time=2, use_pallas_attention_bwd=True)

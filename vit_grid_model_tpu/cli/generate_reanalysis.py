@@ -49,7 +49,8 @@ def main(argv=None) -> None:
         use_pallas_attention=args.pallas)
     # shared --data_parallel contract; sets the ambient mesh +
     # pallas_shard_axis when the Pallas kernels meet a >1-device mesh
-    mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg)
+    mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg,
+                                           batch_size=args.batch_size)
 
     if args.checkpoint and args.checkpoint.endswith(".pkt"):
         from vit_grid_model_tpu.core.torch_import import convert_checkpoint

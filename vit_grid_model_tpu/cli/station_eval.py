@@ -52,7 +52,8 @@ def main(argv=None) -> None:
     if args.data_parallel != 1:
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
-        mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg)
+        mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg,
+                                               batch_size=args.batch_size)
     print(f"devices: {jax.devices()}")
     print(args)
 

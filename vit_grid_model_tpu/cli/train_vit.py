@@ -206,9 +206,8 @@ def main(argv=None) -> None:
     if args.data_parallel != 1:
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
-        mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg)
-        if args.batch_size % mesh.shape["data"] != 0:
-            raise ValueError("batch_size must divide over the data axis")
+        mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg,
+                                               batch_size=args.batch_size)
         state = jax.device_put(state, meshlib.replicated(mesh))
     step_fn = build_train_step(model_cfg, train_cfg, mesh)
 

@@ -10,11 +10,17 @@ saving was done outside the repo.  Here both directions exist:
 
 from __future__ import annotations
 
+import json
 import os
+import warnings
 from typing import Any, Optional
 
 import jax
 import numpy as np
+
+# npz metadata key recording each leaf's pre-widening dtype, so restore can
+# tell the intended bf16 -> f32 -> bf16 round trip from a lossy cast
+_DTYPES_KEY = "__orig_dtypes__"
 
 
 def _path_key(path) -> str:
@@ -34,13 +40,15 @@ def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
     """Save a param pytree.  Directory -> orbax; ``.npz`` suffix -> numpy."""
     if path.endswith(".npz"):
         flat = _flatten_with_paths(params)
+        orig_dtypes = {k: str(v.dtype) for k, v in flat.items()}
         # np.savez round-trips extension dtypes (bf16) as opaque void
         # arrays that neither numpy nor JAX can read back — store them as
         # f32 (exact: bf16 ⊂ f32); restore_params casts to the model dtype
         flat = {k: (v.astype(np.float32)
                     if v.dtype == jax.numpy.bfloat16 else v)
                 for k, v in flat.items()}
-        np.savez(path, **flat)
+        np.savez(path, **flat,
+                 **{_DTYPES_KEY: np.asarray(json.dumps(orig_dtypes))})
         return path
     import orbax.checkpoint as ocp
 
@@ -51,16 +59,29 @@ def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
     return path
 
 
+def _is_safe_cast(src, dst) -> bool:
+    try:
+        return np.can_cast(np.dtype(src), np.dtype(dst), casting="safe")
+    except TypeError:
+        return False
+
+
 def restore_params(path: str, like: Any) -> Any:
     """Restore into the structure of ``like`` (an initialized pytree).
     Leaves are cast back to ``like``'s dtypes — the ``.npz`` writer stores
-    bf16 leaves as f32 (exact), so the cast closes that round trip."""
+    bf16 leaves as f32 (exact), so that cast closes the round trip.  Any
+    OTHER lossy cast (e.g. a genuine f32 checkpoint restored into a
+    bf16-typed pytree, or float data into an integer leaf) warns: it
+    usually means ``like`` was built with the wrong compute_dtype."""
     if path.endswith(".npz"):
         data = np.load(path)
+        stored = set(data.files) - {_DTYPES_KEY}
+        orig_dtypes = (json.loads(str(data[_DTYPES_KEY]))
+                       if _DTYPES_KEY in data.files else {})
         ref = _flatten_with_paths(like)
-        if set(data.files) != set(ref.keys()):
-            missing = sorted(set(ref) - set(data.files))[:5]
-            extra = sorted(set(data.files) - set(ref))[:5]
+        if stored != set(ref.keys()):
+            missing = sorted(set(ref) - stored)[:5]
+            extra = sorted(stored - set(ref))[:5]
             hint = ""
             if any(k.startswith("ema_params") for k in missing + extra):
                 hint = (" (EMA leaves differ: the resume invocation's "
@@ -70,9 +91,30 @@ def restore_params(path: str, like: Any) -> Any:
                 f"checkpoint key mismatch restoring {path}{hint}: "
                 f"missing={missing} extra={extra}")
         flat, _ = jax.tree_util.tree_flatten_with_path(like)
-        leaves = [jax.numpy.asarray(data[_path_key(p)],
-                                    dtype=getattr(l, "dtype", None))
-                  for p, l in flat]
+        leaves = []
+        lossy = []
+        for p, l in flat:
+            key = _path_key(p)
+            arr = data[key]
+            want = getattr(l, "dtype", None)
+            if want is not None and str(arr.dtype) != str(want):
+                # exact round trip: the leaf was saved from `want` dtype
+                # (widened on disk); casting back is lossless by
+                # construction.  Old checkpoints without the metadata keep
+                # the historical benefit of the doubt for f32 -> bf16.
+                saved_from = orig_dtypes.get(key)
+                intended = (saved_from == str(want) if saved_from is not None
+                            else (arr.dtype == np.float32
+                                  and want == jax.numpy.bfloat16))
+                if not intended and not _is_safe_cast(arr.dtype, want):
+                    lossy.append(f"{key}: {arr.dtype} -> {want}")
+            leaves.append(jax.numpy.asarray(arr, dtype=want))
+        if lossy:
+            warnings.warn(
+                f"restore_params({path}): lossy dtype casts "
+                f"({len(lossy)} leaves, e.g. {lossy[:3]}) — the target "
+                "pytree's dtypes do not match what the checkpoint was "
+                "saved from (wrong compute_dtype?)", stacklevel=2)
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(like), leaves)
     import orbax.checkpoint as ocp

@@ -98,6 +98,16 @@ class MetNet3Config:
     # be ambient (jax.set_mesh) and the batch divisible by the axis size.
     pallas_shard_axis: Optional[str] = None
 
+    def __post_init__(self):
+        # the bwd kernel flag only takes effect via the forward flag
+        # (maxvit gates everything on use_pallas); a bwd-only setting would
+        # silently run pure-XLA attention
+        if self.use_pallas_attention_bwd and not self.use_pallas_attention:
+            raise ValueError(
+                "use_pallas_attention_bwd=True requires "
+                "use_pallas_attention=True (the backward kernel rides the "
+                "forward kernel's custom VJP; alone it has no effect)")
+
     @property
     def n_input_channels(self) -> int:
         return self.window_size * self.n_variables

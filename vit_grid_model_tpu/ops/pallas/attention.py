@@ -245,6 +245,13 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
         # the mask output block is only written on the dropout branch;
         # without it the second output would be uninitialized VMEM
         raise ValueError("emit_mask requires dropout_rate > 0")
+    if dropout_mask is not None and dropout_rate > 0.0:
+        # the two dropout contracts are mutually exclusive: with a seed the
+        # in-kernel hash PRNG wins and an external mask would be silently
+        # ignored
+        raise ValueError(
+            "pass either an external dropout_mask or an in-kernel "
+            "(seed, dropout_rate) pair, not both")
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
@@ -491,6 +498,10 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
                                heads, windows_per_sample, block_windows,
                                seed, dropout_rate):
     """Run the fused backward kernel and assemble (dp, dx, dcond)."""
+    if dropout_mask is not None and dropout_rate > 0.0:
+        raise ValueError(
+            "pass either an external dropout_mask or an in-kernel "
+            "(seed, dropout_rate) pair, not both")
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     dim_inner = heads * dim_head

@@ -40,7 +40,8 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
     return Mesh(arr, cfg.axis_names)
 
 
-def mesh_for_cli(data_parallel: int, model_cfg=None):
+def mesh_for_cli(data_parallel: int, model_cfg=None,
+                 batch_size: Optional[int] = None):
     """The CLIs' shared ``--data_parallel`` contract in one place
     (previously copy-pasted per CLI, which is how station-eval silently
     missed the Pallas wiring): ``-1`` = all devices, ``k > 0`` = a
@@ -48,10 +49,17 @@ def mesh_for_cli(data_parallel: int, model_cfg=None):
     the mesh spans more than one device, the mesh is made ambient
     (``jax.set_mesh``) and ``pallas_shard_axis`` is set so the in-model
     ``shard_map`` partitions the kernels (GSPMD cannot partition
-    ``pallas_call``).  Returns ``(mesh, model_cfg)``."""
+    ``pallas_call``).  ``batch_size``, when given, is validated to divide
+    over the data axis up front — shard_map/device_put otherwise fail at
+    trace time with an obscure error.  Returns ``(mesh, model_cfg)``."""
     devs = jax.devices()[:data_parallel] if data_parallel > 0 else None
     mesh = make_mesh(MeshConfig(data=data_parallel, model=1), devices=devs)
     print(f"mesh: {dict(mesh.shape)}")
+    validate_pallas_mesh(mesh, model_cfg)
+    if batch_size is not None and batch_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide over the mesh data axis "
+            f"({mesh.shape['data']} devices)")
     if (model_cfg is not None and model_cfg.use_pallas_attention
             and mesh.size > 1):
         import dataclasses
@@ -59,6 +67,25 @@ def mesh_for_cli(data_parallel: int, model_cfg=None):
         jax.set_mesh(mesh)
         model_cfg = dataclasses.replace(model_cfg, pallas_shard_axis="data")
     return mesh, model_cfg
+
+
+def validate_pallas_mesh(mesh: Optional[Mesh], model_cfg) -> None:
+    """Fail loudly instead of silently degrading (round-2 review): the
+    fused Pallas kernels are shard_mapped over the window ('data') axis
+    only — on a mesh with a >1 'model' axis the head-sharded qkv params
+    cannot enter the window-sharded kernel (docs/DESIGN.md scope note), so
+    the combination must be rejected, not quietly swapped for XLA
+    attention."""
+    if model_cfg is None or not getattr(model_cfg, "use_pallas_attention",
+                                        False):
+        return
+    if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+        raise ValueError(
+            "use_pallas_attention is not supported on a mesh with a >1 "
+            "'model' (tensor-parallel) axis: the fused kernels shard over "
+            "the window ('data') axis only. Use a model=1 mesh, or disable "
+            "use_pallas_attention and let GSPMD shard the XLA attention "
+            "heads (docs/DESIGN.md, 'One composition rule').")
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

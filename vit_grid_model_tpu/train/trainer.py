@@ -109,6 +109,7 @@ def build_train_step(model_cfg: MetNet3Config, train_cfg: TrainConfig,
     batch: dict with 'x' (B,T,C,H,W), 'timestamps' (B,T,4),
     'targets' (B,L,H,W), optional 'mask' (B,L,H,W) bool.
     """
+    meshlib.validate_pallas_mesh(mesh, model_cfg)
     loss_kw = {}
     if train_cfg.loss == "focal_r":
         loss_kw = dict(beta=train_cfg.focal_beta, gamma=train_cfg.focal_gamma,
