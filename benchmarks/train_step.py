@@ -27,6 +27,40 @@ from vit_grid_model_tpu.train.trainer import build_train_step, init_train_state
 
 MODES = ("xla", "pallas_fwd", "pallas_fused_bwd", "fast")
 
+# TPU v5e bf16 peak (bench.py's constant)
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def train_step_flops(batch_size: int) -> float:
+    """HLO flop count of one full train step (fwd + bwd + AdamW), lowered on
+    the CPU backend with abstract shapes — the same currency bench.py uses
+    for inference MFU (the axon backend exposes no cost model).  Pallas off:
+    the kernels hide their flops behind a custom call; the XLA lowering of
+    the identical math is the honest count."""
+    import dataclasses
+
+    cfg = MetNet3Config(
+        window_size=13, n_variables=24, n_start_channels=128,
+        end_lead_time=12, pm25_mean=22.5, pm25_std=15.5, dropout=0.1,
+        compute_dtype="bfloat16")
+    tc = TrainConfig(learning_rate=1e-4, total_steps=1000, warmup_steps=10,
+                     batch_size=batch_size)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = jax.eval_shape(
+            lambda k: init_train_state(metnet3_init(k, cfg), tc),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+        batch = {
+            "x": jax.ShapeDtypeStruct((batch_size, 13, 24, 82, 67),
+                                      jnp.float32),
+            "timestamps": jax.ShapeDtypeStruct((batch_size, 25, 4),
+                                               jnp.float32),
+            "targets": jax.ShapeDtypeStruct((batch_size, 12, 82, 67),
+                                            jnp.float32),
+        }
+        step = build_train_step(cfg, tc)
+        cost = step.lower(state, batch).cost_analysis()
+    return float(cost.get("flops", 0.0))
+
 
 def run(batch_size: int, steps: int, warmup: int = 6, modes=MODES):
     rng = np.random.default_rng(0)
@@ -75,6 +109,13 @@ def run(batch_size: int, steps: int, warmup: int = 6, modes=MODES):
             if k in results:
                 out[f"{k}_speedup_vs_xla"] = round(results["xla"]
                                                    / results[k], 3)
+    # train-step MFU, same HLO-flop currency as bench.py's inference MFU
+    # (round-2 verdict item 7)
+    flops = train_step_flops(batch_size)
+    out["train_step_tflop"] = round(flops / 1e12, 3)
+    for k, ms in results.items():
+        tflops_s = flops / (ms / 1e3) / 1e12
+        out[f"{k}_mfu"] = round(tflops_s / V5E_PEAK_BF16_TFLOPS, 4)
     print(json.dumps(out))
 
 

@@ -119,3 +119,72 @@ def test_evaluate_collects_valid_times_quirk19(tmp_path):
     # = times[mod_idx]; with 12 hourly times from 00 there are 8 samples
     # with last-input hours 02..09 -> exactly one has hour == 6
     assert got.tolist() == [2023050106]
+
+
+def test_parity_report_gate(tmp_path):
+    """The one-command parity gate (round-2 verdict item 8): evaluate, save
+    the summary as a golden baseline, re-report against it (PASS, exact
+    match), then against a perturbed baseline (FAIL beyond the 1e-3 RMSE
+    gate) — the exact workflow the real-.pkt run will use."""
+    import json
+
+    from vit_grid_model_tpu.evaluation import parity
+
+    data_cfg, model_cfg, end = _small_setup(tmp_path)
+    params = metnet3_init(jax.random.PRNGKey(1), model_cfg)
+    metrics = driver.evaluate(
+        params, model_cfg, data_cfg, model_name="par_test",
+        test_start=datetime(2023, 5, 1, 0), test_end=end,
+        batch_size=4, log_dir=str(tmp_path / "logs"), progress=False)
+    summary = metrics.summary()
+
+    golden = str(tmp_path / "golden.json")
+    parity.save_baseline(golden, summary)
+    lines, ok = parity.parity_report(summary, parity.load_baseline(golden))
+    assert ok, "\n".join(lines)
+    assert any("GATE PASS" in ln for ln in lines)
+
+    # perturb the golden RMSE beyond the tolerance -> gate fails
+    bad = json.load(open(golden))
+    bad["metrics"]["model"]["RMSE"] += 0.5
+    lines, ok = parity.parity_report(summary, bad)
+    assert not ok
+    assert any("GATE FAIL" in ln for ln in lines)
+
+    # the built-in reference table loads and gates (random weights on
+    # synthetic data are nowhere near the shipped checkpoint -> FAIL)
+    ref = parity.load_baseline("reference")
+    assert ref["metrics"]["model"]["RMSE"] == 10.6697
+    _, ok = parity.parity_report(summary, ref)
+    assert not ok
+
+
+def test_parity_report_cli_flags(tmp_path):
+    """CLI wiring: --parity_save writes the golden; --parity_report exits 0
+    on pass and 1 on failure."""
+    import json
+
+    import pytest
+
+    from vit_grid_model_tpu.cli import evaluation_vit as cli
+
+    root = str(tmp_path / "synth")
+    common = ["--synthetic", "--synthetic_root", root,
+              "--input_dim", "2", "--output_dim", "2", "--prev_len", "3",
+              "--hidden_dim", "16", "--batch_size", "4",
+              "--model_name", "par_cli",
+              "--test_start", "2023-05-01T00", "--test_end", "2023-05-01T11",
+              "--log_dir", str(tmp_path / "logs")]
+    golden = str(tmp_path / "golden_cli.json")
+    cli.main(common + ["--parity_save", golden])
+    assert json.load(open(golden))["metrics"]["model"]["RMSE"] > 0
+    # same deterministic run against its own golden: gate passes (exit 0)
+    cli.main(common + ["--parity_report", golden])
+    # perturbed golden: gate fails (exit 1)
+    bad = json.load(open(golden))
+    bad["metrics"]["model"]["RMSE"] += 1.0
+    badpath = str(tmp_path / "bad.json")
+    json.dump(bad, open(badpath, "w"))
+    with pytest.raises(SystemExit) as e:
+        cli.main(common + ["--parity_report", badpath])
+    assert e.value.code == 1

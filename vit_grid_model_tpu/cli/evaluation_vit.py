@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--collect_valid_times", action="store_true",
                    help="reproduce reference quirk #19: collect encoded "
                         "sample times with last input hour == 6")
+    p.add_argument("--parity_report", type=str, default=None, metavar="BASE",
+                   help="after evaluating, diff the summary against a "
+                        "baseline table and pass/fail the <=1e-3 model-RMSE "
+                        "gate (BASELINE.json contract). BASE is a baseline "
+                        "JSON path, or the literal 'reference' for the "
+                        "shipped 12hr golden-log table — run with the real "
+                        ".pkt + data to prove checkpoint parity in one "
+                        "command. Exits 1 on gate failure.")
+    p.add_argument("--parity_save", type=str, default=None, metavar="PATH",
+                   help="write this run's summary as a parity-baseline JSON "
+                        "(how a synthetic golden is generated)")
     return p
 
 
@@ -202,6 +213,19 @@ def main(argv=None) -> None:
     print("model RMSE: {:.4f}  MAE: {:.4f}  R: {:.4f}".format(
         summary["model"]["RMSE"], summary["model"]["MAE"],
         summary["model"]["R"]))
+    if args.parity_save:
+        from vit_grid_model_tpu.evaluation import parity
+
+        print(f"parity baseline saved: "
+              f"{parity.save_baseline(args.parity_save, summary)}")
+    if args.parity_report:
+        from vit_grid_model_tpu.evaluation import parity
+
+        lines, ok = parity.parity_report(
+            summary, parity.load_baseline(args.parity_report))
+        print("\n".join(lines))
+        if not ok:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
