@@ -7,8 +7,13 @@
 // pass, exposing a plain C ABI consumed via ctypes
 // (vit_grid_model_tpu/data/native.py).
 //
-// Fault semantics preserved exactly: missing/unreadable/malformed files
-// produce zero grids (dataset.py:784-789).
+// Fault semantics preserved exactly: missing/unreadable/wrong-rank files
+// produce zero grids (dataset.py:784-789 — the np.load + rank-check path).
+// Files np.load WOULD read (any endianness, C or Fortran order, npy
+// v1/v2/v3, numeric dtype) load correctly here too; anything else that
+// np.load would accept but this reader cannot represent fails LOUDLY
+// (stderr + vg_unsupported_count) instead of silently zero-filling —
+// a silent zero grid is indistinguishable from the missing-file case.
 //
 // Build: ./native/build.sh  (g++ -O3 -shared -fPIC -pthread)
 
@@ -25,8 +30,11 @@
 namespace {
 
 // ---------------------------------------------------------------------------
-// minimal .npy reader (v1.0/v2.0, little-endian f4/f8, C order)
+// .npy reader: v1/v2/v3 headers, little/big endian, C/Fortran order,
+// float16/32/64 + (u)int8/16/32/64 + bool payloads
 // ---------------------------------------------------------------------------
+
+std::atomic<int64_t> g_unsupported(0);
 
 bool parse_shape(const std::string& header, std::vector<int64_t>* shape) {
   auto pos = header.find("'shape':");
@@ -45,13 +53,117 @@ bool parse_shape(const std::string& header, std::vector<int64_t>* shape) {
   return true;
 }
 
-// Reads an .npy file of float32/float64 into `out` (n_expected floats).
-// Returns true on success; on any failure the caller zero-fills.
-bool load_npy_f32(const char* path, float* out, int64_t n_expected,
-                  const std::vector<int64_t>& expected_shape) {
+// 'descr' value, e.g. "<f4", ">i8", "|u1".
+bool parse_descr(const std::string& header, std::string* descr) {
+  auto pos = header.find("'descr':");
+  if (pos == std::string::npos) return false;
+  pos = header.find_first_of("'\"", pos + 8);
+  if (pos == std::string::npos) return false;
+  char quote = header[pos];
+  auto end = header.find(quote, pos + 1);
+  if (end == std::string::npos) return false;
+  *descr = header.substr(pos + 1, end - pos - 1);
+  return true;
+}
+
+inline uint16_t bswap16(uint16_t v) { return __builtin_bswap16(v); }
+inline uint32_t bswap32(uint32_t v) { return __builtin_bswap32(v); }
+inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
+
+float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t mant = h & 0x3ffu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;                                    // +-0
+    } else {                                          // subnormal
+      exp = 127 - 15 + 1;
+      while (!(mant & 0x400u)) { mant <<= 1; --exp; }
+      mant &= 0x3ffu;
+      bits = sign | (exp << 23) | (mant << 13);
+    }
+  } else if (exp == 0x1f) {
+    bits = sign | 0x7f800000u | (mant << 13);         // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float out;
+  memcpy(&out, &bits, sizeof(out));
+  return out;
+}
+
+// Convert n raw elements of the given descr into float32.  `swap` = payload
+// byte order differs from host (host assumed little-endian, as every
+// deployment target here is).  Returns false for unsupported descr kinds.
+bool convert_payload(const std::string& descr, const uint8_t* raw, int64_t n,
+                     bool swap, float* out) {
+  char kind = descr[descr.size() - 2];
+  char size = descr[descr.size() - 1];
+  if (kind == 'f' && size == '4') {
+    for (int64_t i = 0; i < n; ++i) {
+      uint32_t v; memcpy(&v, raw + 4 * i, 4);
+      if (swap) v = bswap32(v);
+      memcpy(out + i, &v, 4);
+    }
+  } else if (kind == 'f' && size == '8') {
+    for (int64_t i = 0; i < n; ++i) {
+      uint64_t v; memcpy(&v, raw + 8 * i, 8);
+      if (swap) v = bswap64(v);
+      double d; memcpy(&d, &v, 8);
+      out[i] = (float)d;
+    }
+  } else if (kind == 'f' && size == '2') {
+    for (int64_t i = 0; i < n; ++i) {
+      uint16_t v; memcpy(&v, raw + 2 * i, 2);
+      if (swap) v = bswap16(v);
+      out[i] = half_to_float(v);
+    }
+  } else if ((kind == 'i' || kind == 'u') && size == '1') {
+    for (int64_t i = 0; i < n; ++i)
+      out[i] = (kind == 'i') ? (float)(int8_t)raw[i] : (float)raw[i];
+  } else if (kind == 'b' && size == '1') {
+    for (int64_t i = 0; i < n; ++i) out[i] = raw[i] ? 1.0f : 0.0f;
+  } else if ((kind == 'i' || kind == 'u') && size == '2') {
+    for (int64_t i = 0; i < n; ++i) {
+      uint16_t v; memcpy(&v, raw + 2 * i, 2);
+      if (swap) v = bswap16(v);
+      out[i] = (kind == 'i') ? (float)(int16_t)v : (float)v;
+    }
+  } else if ((kind == 'i' || kind == 'u') && size == '4') {
+    for (int64_t i = 0; i < n; ++i) {
+      uint32_t v; memcpy(&v, raw + 4 * i, 4);
+      if (swap) v = bswap32(v);
+      out[i] = (kind == 'i') ? (float)(int32_t)v : (float)v;
+    }
+  } else if ((kind == 'i' || kind == 'u') && size == '8') {
+    for (int64_t i = 0; i < n; ++i) {
+      uint64_t v; memcpy(&v, raw + 8 * i, 8);
+      if (swap) v = bswap64(v);
+      out[i] = (kind == 'i') ? (float)(int64_t)v : (float)v;
+    }
+  } else {
+    return false;
+  }
+  return true;
+}
+
+enum LoadResult {
+  LOAD_OK = 1,
+  LOAD_ZERO = 0,         // reference-parity zero-fill (missing / non-npy /
+                         // wrong rank, dataset.py:784-789)
+  LOAD_UNSUPPORTED = -1, // np.load would read it, we cannot (or the shape
+                         // contradicts the caller): LOUD
+};
+
+// Reads an .npy file into `out` (n_expected float32s).
+LoadResult load_npy_f32(const char* path, float* out, int64_t n_expected,
+                        const std::vector<int64_t>& expected_shape) {
   FILE* f = fopen(path, "rb");
-  if (!f) return false;
-  bool ok = false;
+  if (!f) return LOAD_ZERO;
+  LoadResult res = LOAD_ZERO;
+  const char* why = "truncated or non-npy file";
   std::vector<char> hdr_buf;
   do {
     unsigned char magic[8];
@@ -63,7 +175,7 @@ bool load_npy_f32(const char* path, float* out, int64_t n_expected,
       unsigned char b[2];
       if (fread(b, 1, 2, f) != 2) break;
       hlen = b[0] | (b[1] << 8);
-    } else {
+    } else {  // v2.0 / v3.0: little-endian uint32 header length
       unsigned char b[4];
       if (fread(b, 1, 4, f) != 4) break;
       hlen = b[0] | (b[1] << 8) | (b[2] << 16) | ((uint32_t)b[3] << 24);
@@ -71,28 +183,72 @@ bool load_npy_f32(const char* path, float* out, int64_t n_expected,
     hdr_buf.resize(hlen + 1, 0);
     if (fread(hdr_buf.data(), 1, hlen, f) != hlen) break;
     std::string header(hdr_buf.data(), hlen);
-    if (header.find("'fortran_order': True") != std::string::npos) break;
-    bool f4 = header.find("'<f4'") != std::string::npos;
-    bool f8 = header.find("'<f8'") != std::string::npos;
-    if (!f4 && !f8) break;
+
+    std::string descr;
     std::vector<int64_t> shape;
-    if (!parse_shape(header, &shape)) break;
+    if (!parse_descr(header, &descr) || !parse_shape(header, &shape)) break;
     // the reference treats wrong-rank files as malformed -> zeros
+    // (dataset.py:788: `if len(shape) != 3: zeros`)
     if (shape.size() != expected_shape.size()) break;
     int64_t n = 1;
     for (auto s : shape) n *= s;
-    if (n != n_expected) break;
-    if (f4) {
-      if ((int64_t)fread(out, 4, n, f) != n) break;
-    } else {
-      std::vector<double> tmp(n);
-      if ((int64_t)fread(tmp.data(), 8, n, f) != n) break;
-      for (int64_t i = 0; i < n; ++i) out[i] = (float)tmp[i];
+    // right rank, wrong element count: np.load succeeds and the
+    // reference's downstream indexing crashes — never silently zero
+    if (n != n_expected) { res = LOAD_UNSUPPORTED; why = "shape mismatch"; break; }
+
+    if (descr.size() < 3) { res = LOAD_UNSUPPORTED; why = "odd descr"; break; }
+    char bo = descr[0];
+    bool swap;
+    if (bo == '<' || bo == '|' || bo == '=') swap = false;
+    else if (bo == '>') swap = true;
+    else { res = LOAD_UNSUPPORTED; why = "unknown byte order"; break; }
+
+    int64_t itemsize = descr[descr.size() - 1] - '0';
+    if (itemsize < 1 || itemsize > 8) {
+      res = LOAD_UNSUPPORTED; why = "unsupported itemsize"; break;
     }
-    ok = true;
+    std::vector<uint8_t> raw(n * itemsize);
+    if ((int64_t)fread(raw.data(), itemsize, n, f) != n) {
+      res = LOAD_UNSUPPORTED; why = "payload shorter than header shape";
+      break;
+    }
+
+    bool fortran =
+        header.find("'fortran_order': True") != std::string::npos;
+    if (!fortran) {
+      if (!convert_payload(descr, raw.data(), n, swap, out)) {
+        res = LOAD_UNSUPPORTED; why = "unsupported dtype"; break;
+      }
+    } else {
+      // convert then permute column-major -> row-major
+      std::vector<float> tmp(n);
+      if (!convert_payload(descr, raw.data(), n, swap, tmp.data())) {
+        res = LOAD_UNSUPPORTED; why = "unsupported dtype"; break;
+      }
+      const size_t rank = shape.size();
+      std::vector<int64_t> fstride(rank), idx(rank, 0);
+      int64_t acc = 1;
+      for (size_t d = 0; d < rank; ++d) { fstride[d] = acc; acc *= shape[d]; }
+      for (int64_t ci = 0; ci < n; ++ci) {
+        int64_t fi = 0;
+        for (size_t d = 0; d < rank; ++d) fi += idx[d] * fstride[d];
+        out[ci] = tmp[fi];
+        for (size_t d = rank; d-- > 0;) {       // C-order increment
+          if (++idx[d] < shape[d]) break;
+          idx[d] = 0;
+        }
+      }
+    }
+    res = LOAD_OK;
   } while (false);
   fclose(f);
-  return ok;
+  if (res == LOAD_UNSUPPORTED) {
+    g_unsupported.fetch_add(1);
+    fprintf(stderr, "cmaq_loader: %s: %s — zero-filling; np.load would "
+                    "have read this file (or crashed downstream)\n",
+            path, why);
+  }
+  return res;
 }
 
 void run_parallel(int64_t n_tasks, int n_threads,
@@ -130,7 +286,7 @@ int64_t vg_load_cycle_files(const char** paths, int64_t n_files,
   std::atomic<int64_t> ok_count(0);
   run_parallel(n_files, n_threads, [&](int64_t i) {
     float* dst = out + i * per;
-    if (load_npy_f32(paths[i], dst, per, shape)) {
+    if (load_npy_f32(paths[i], dst, per, shape) == LOAD_OK) {
       ok_count.fetch_add(1);
     } else {
       memset(dst, 0, per * sizeof(float));
@@ -159,7 +315,8 @@ int64_t vg_assemble_sample(const char** paths, int64_t n_steps,
     const int64_t step = task / 4;
     const int64_t cyc = task % 4;
     std::vector<float> buf(n_species * hw);
-    bool ok = load_npy_f32(paths[task], buf.data(), n_species * hw, shape);
+    bool ok = load_npy_f32(paths[task], buf.data(), n_species * hw,
+                           shape) == LOAD_OK;
     if (!ok) memset(buf.data(), 0, buf.size() * sizeof(float));
     else ok_count.fetch_add(1);
     // standardize all but the PM2.5 plane (dataset.py:861-866)
@@ -191,6 +348,12 @@ int64_t vg_assemble_sample(const char** paths, int64_t n_steps,
   return ok_count.load();
 }
 
-int vg_abi_version() { return 1; }
+// Count of loud load failures (files np.load would accept but this reader
+// zero-filled) since start / last reset — lets callers assert the data
+// plane saw nothing it silently mishandled.
+int64_t vg_unsupported_count() { return g_unsupported.load(); }
+void vg_reset_unsupported_count() { g_unsupported.store(0); }
+
+int vg_abi_version() { return 2; }
 
 }  // extern "C"

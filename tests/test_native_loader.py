@@ -88,3 +88,117 @@ def test_dataset_native_path_matches_numpy(tree):
     for i, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-6, err_msg=str(i))
+
+
+def _npy_variants(rng):
+    """(name, array, writer) matrix: every header/dtype/order variant
+    np.load accepts (reference reader, dataset.py:784-789)."""
+    base = (rng.random((6, 82, 67)) * 80).astype(np.float32)
+    variants = {
+        "c_f4_le": base,
+        "c_f8_le": base.astype(np.float64),
+        "c_f4_be": base.astype(">f4"),
+        "c_f8_be": base.astype(">f8"),
+        "c_f2": base.astype(np.float16),
+        "fortran_f4": np.asfortranarray(base),
+        "fortran_f8_be": np.asfortranarray(base.astype(">f8")),
+        "c_i1": (base % 100).astype(np.int8),
+        "c_u1": (base % 200).astype(np.uint8),
+        "c_i2_le": base.astype(np.int16),
+        "c_i2_be": base.astype(">i2"),
+        "c_i4_le": base.astype(np.int32),
+        "c_u4_be": base.astype(">u4"),
+        "c_i8_le": base.astype(np.int64),
+        "c_i8_be": base.astype(">i8"),
+        "c_bool": (base > 40.0),
+    }
+    return variants
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_npy_fidelity_matrix_vs_np_load(tmp_path):
+    """Differential matrix (round-2 verdict item 5): every dtype/endianness/
+    order variant np.load handles must load to the same float32 grid through
+    the native reader — no silent zero-fill of valid files."""
+    rng = np.random.default_rng(0)
+    native.reset_unsupported_count()
+    for name, arr in _npy_variants(rng).items():
+        p = tmp_path / f"{name}.npy"
+        np.save(p, arr)
+        out = native.load_cycle_files_native([str(p)], 6, (82, 67))
+        want = np.load(p).astype(np.float32)
+        np.testing.assert_allclose(out[0], want, rtol=1e-6, atol=1e-6,
+                                   err_msg=name)
+        assert not (out == 0).all() or (want == 0).all(), name
+    assert native.unsupported_count() == 0
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_npy_v1_v2_v3_headers(tmp_path):
+    """All three .npy format versions parse (numpy only writes v1/v2;
+    v3 is hand-assembled: identical layout with a UTF-8 header)."""
+    rng = np.random.default_rng(1)
+    arr = rng.random((6, 82, 67)).astype(np.float32)
+    p1 = tmp_path / "v1.npy"
+    np.save(p1, arr)                                    # v1 by default
+    p2 = tmp_path / "v2.npy"
+    with open(p2, "wb") as f:
+        np.lib.format.write_array(f, arr, version=(2, 0))
+    # v3: magic \x93NUMPY\x03\x00 + uint32 header length + same dict
+    v1 = p1.read_bytes()
+    hlen = int.from_bytes(v1[8:10], "little")
+    header, payload = v1[10:10 + hlen], v1[10 + hlen:]
+    # re-pad so magic(8) + len(4) + header is 64-aligned like numpy does
+    raw = header.rstrip(b" \n")
+    total = 8 + 4 + len(raw) + 1
+    pad = (64 - total % 64) % 64
+    header3 = raw + b" " * pad + b"\n"
+    p3 = tmp_path / "v3.npy"
+    p3.write_bytes(b"\x93NUMPY\x03\x00"
+                   + len(header3).to_bytes(4, "little") + header3 + payload)
+    np.testing.assert_array_equal(np.load(p3), arr)     # numpy agrees it's valid
+    native.reset_unsupported_count()
+    for p in (p1, p2, p3):
+        out = native.load_cycle_files_native([str(p)], 6, (82, 67))
+        np.testing.assert_allclose(out[0], arr, rtol=1e-6, err_msg=str(p))
+    assert native.unsupported_count() == 0
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_npy_loud_failures(tmp_path, capfd):
+    """Never silent-zero a file np.load would accept: wrong element count
+    (right rank) and truncated payloads zero-fill LOUDLY — stderr line +
+    vg_unsupported_count — while the reference-parity faults (missing,
+    wrong rank, non-npy garbage) stay silent zeros."""
+    rng = np.random.default_rng(2)
+    native.reset_unsupported_count()
+
+    wrong_shape = tmp_path / "wrong_shape.npy"
+    np.save(wrong_shape, rng.random((6, 10, 10)).astype(np.float32))
+    good = rng.random((6, 82, 67)).astype(np.float32)
+    truncated = tmp_path / "truncated.npy"
+    full = tmp_path / "full.npy"
+    np.save(full, good)
+    truncated.write_bytes(full.read_bytes()[:-1000])
+
+    out = native.load_cycle_files_native(
+        [str(wrong_shape), str(truncated)], 6, (82, 67))
+    assert (out == 0).all()
+    assert native.unsupported_count() == 2
+    err = capfd.readouterr().err
+    assert "wrong_shape.npy" in err and "truncated.npy" in err
+
+    # reference-parity silent faults do not touch the loud counter
+    native.reset_unsupported_count()
+    garbage = tmp_path / "garbage.npy"
+    garbage.write_bytes(b"not an npy file at all")
+    wrong_rank = tmp_path / "wrong_rank.npy"
+    np.save(wrong_rank, rng.random(7).astype(np.float32))
+    out = native.load_cycle_files_native(
+        [str(tmp_path / "missing.npy"), str(garbage), str(wrong_rank)],
+        6, (82, 67))
+    assert (out == 0).all()
+    assert native.unsupported_count() == 0

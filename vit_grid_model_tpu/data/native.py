@@ -50,9 +50,10 @@ def _load_library() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.vg_abi_version.restype = ctypes.c_int
-            assert lib.vg_abi_version() == 1
+            assert lib.vg_abi_version() == 2
             lib.vg_assemble_sample.restype = ctypes.c_int64
             lib.vg_load_cycle_files.restype = ctypes.c_int64
+            lib.vg_unsupported_count.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -61,6 +62,21 @@ def _load_library() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load_library() is not None
+
+
+def unsupported_count() -> int:
+    """Loud load failures so far: files ``np.load`` would have accepted but
+    the native reader had to zero-fill (also logged to stderr per file).
+    Zero after a clean run; callers can diff across a workload to assert
+    the native plane silently mishandled nothing."""
+    lib = _load_library()
+    return int(lib.vg_unsupported_count()) if lib is not None else 0
+
+
+def reset_unsupported_count() -> None:
+    lib = _load_library()
+    if lib is not None:
+        lib.vg_reset_unsupported_count()
 
 
 def _c_paths(paths: Sequence[str]):
