@@ -89,12 +89,18 @@ def main():
         results["ours_native"] = timed(lambda i: ours[i])
 
     ours.use_native = None   # auto
-    loader = BatchLoader(ours, batch_size=4, num_workers=4)
-    t0 = time.perf_counter()
-    seen = 0
-    for batch in loader:
-        seen += batch[0].shape[0]
-    results["batch_loader_e2e"] = seen / (time.perf_counter() - t0)
+    # dispatch="auto" resolves to the single-dispatcher mode on the native
+    # plane (one sequential caller; the C++ pool is the only parallelism);
+    # the legacy pool mode is kept for the delta
+    for label, dispatch in (("batch_loader_e2e", "auto"),
+                            ("batch_loader_pool_mode", "pool")):
+        loader = BatchLoader(ours, batch_size=4, num_workers=4,
+                             dispatch=dispatch)
+        t0 = time.perf_counter()
+        seen = 0
+        for batch in loader:
+            seen += batch[0].shape[0]
+        results[label] = seen / (time.perf_counter() - t0)
 
     out = {"metric": "assembly_samples_per_sec",
            **{k: round(v, 2) for k, v in results.items()}}

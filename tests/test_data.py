@@ -358,3 +358,35 @@ def test_cycle_refs_invariants_hypothesis():
             assert 3 <= ref.lead <= 50
 
     check()
+
+
+def test_batch_loader_dispatch_modes(tmp_path):
+    """single-dispatch (native-plane) and pool modes produce identical
+    batches in identical order; auto resolves via the dataset hint."""
+    import pytest
+
+    from vit_grid_model_tpu.data.pipeline import BatchLoader
+
+    class Tiny:
+        prefers_single_dispatch = True
+
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return (np.full((3,), i, np.float32), np.int32(i))
+
+    ds = Tiny()
+    batches = {}
+    for mode in ("single", "pool", "auto"):
+        loader = BatchLoader(ds, batch_size=4, num_workers=2, dispatch=mode)
+        batches[mode] = list(loader)
+    for mode in ("pool", "auto"):
+        for a, b in zip(batches["single"], batches[mode]):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
+    assert BatchLoader(ds, batch_size=4)._single_dispatch()
+    ds.prefers_single_dispatch = False
+    assert not BatchLoader(ds, batch_size=4)._single_dispatch()
+    with pytest.raises(ValueError, match="dispatch"):
+        BatchLoader(ds, batch_size=4, dispatch="bogus")

@@ -202,3 +202,41 @@ def test_npy_loud_failures(tmp_path, capfd):
         6, (82, 67))
     assert (out == 0).all()
     assert native.unsupported_count() == 0
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_get_batch_union_matches_per_sample(tree):
+    """Batch-level union assembly (consecutive samples share all but one
+    CMAQ step) must be byte-identical to per-sample assembly, for both the
+    eval (_only) and train (v3) dataset classes; shuffled indices fall back
+    to the per-sample path."""
+    from vit_grid_model_tpu.data.datasets import (
+        AirSimulationReanalysisDatasetOnly, AirSimulationReanalysisDatasetV3)
+
+    times = TU.eval_time_list(datetime(2023, 2, 1, 0),
+                              datetime(2023, 2, 1, 5), 3, 2)
+    rng = np.random.default_rng(0)
+    feats = rng.random((len(times), 6, 12)).astype(np.float32)
+    masks = np.ones((len(times), 6))
+    kwargs = dict(input_dim=2, output_dim=2, prev_len=3, korea_stn_num=4,
+                  china_stn_num=2, cmaq_size=(82, 67),
+                  sim_data_path=tree["sim_data_path"],
+                  reanalysis_data_path=tree["analysis_data_path"],
+                  feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    for cls in (AirSimulationReanalysisDatasetOnly,
+                AirSimulationReanalysisDatasetV3):
+        ds = cls(times, feats, masks, **kwargs)
+        n = min(len(ds), 5)
+        per_sample = [ds[i] for i in range(n)]
+        batched = ds.get_batch(list(range(n)))
+        assert not ds._sim_cache          # cache cleared after the batch
+        for a, b in zip(per_sample, batched):
+            for j, (x, y) in enumerate(zip(a, b)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=f"{cls.__name__}[{j}]")
+        # non-consecutive indices: falls back, still equal
+        idx = [2, 0, 3][:n]
+        for a, b in zip([ds[i] for i in idx], ds.get_batch(idx)):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

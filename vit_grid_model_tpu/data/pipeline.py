@@ -30,7 +30,8 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  seed: int = 0, num_workers: int = 4,
                  prefetch_batches: int = 2, drop_last: bool = False,
-                 collate: Optional[Callable] = None):
+                 collate: Optional[Callable] = None,
+                 dispatch: str = "auto"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,7 +41,22 @@ class BatchLoader:
         self.drop_last = drop_last
         self.collate = collate or getattr(dataset, "collate", None) or (
             lambda samples: tuple(np.stack(f) for f in zip(*samples)))
+        # "single": one dispatcher thread, sequential __getitem__ — the
+        # right mode when the dataset's assembly is internally threaded
+        # (the native C++ plane): Python worker threads on top CONTEND with
+        # the native pool rather than add (measured 33.9 vs 80.8 samples/s,
+        # docs/RESULTS.md).  "pool": the ThreadPoolExecutor path for
+        # GIL-releasing numpy/file assembly.  "auto": ask the dataset
+        # (``prefers_single_dispatch``).
+        if dispatch not in ("auto", "single", "pool"):
+            raise ValueError(f"unknown dispatch mode {dispatch!r}")
+        self.dispatch = dispatch
         self._epoch = 0
+
+    def _single_dispatch(self) -> bool:
+        if self.dispatch != "auto":
+            return self.dispatch == "single"
+        return bool(getattr(self.dataset, "prefers_single_dispatch", False))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -79,14 +95,31 @@ class BatchLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if self._single_dispatch():
+                    # the native assembler's internal pool is the only
+                    # parallelism; the prefetch queue double-buffers the
+                    # collated batch against the consumer's device_put +
+                    # compute.  get_batch (when the dataset offers it)
+                    # assembles the whole batch's step UNION in one native
+                    # pass — consecutive samples share all but one step.
+                    get_batch = getattr(self.dataset, "get_batch", None)
+                    get = self.dataset.__getitem__
                     for chunk in self._batch_indices():
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__,
-                                                chunk))
+                        samples = (get_batch(chunk) if get_batch is not None
+                                   else [get(i) for i in chunk])
                         if not put(("batch", self.collate(samples))):
                             return
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for chunk in self._batch_indices():
+                            if stop.is_set():
+                                return
+                            samples = list(pool.map(self.dataset.__getitem__,
+                                                    chunk))
+                            if not put(("batch", self.collate(samples))):
+                                return
             except BaseException as e:  # surface worker errors to consumer
                 put(("error", e))
                 return
