@@ -1,0 +1,18 @@
+"""Round-2 crash repro: 16-window tiles (half the program count).
+
+Same per-head structure as the shipping kernel, blk=16 instead of 8 —
+every in-kernel array doubles its leading dim.  Round 2 reported this
+crashes the Mosaic compiler at the flagship geometry.
+
+Run: PYTHONPATH=. python benchmarks/mosaic_repros/repro_16window_tile.py
+"""
+import sys
+
+sys.path.insert(0, ".")
+from benchmarks.mosaic_repros import common as C
+from benchmarks.mosaic_repros.repro_baseline_perhead import build
+
+
+if __name__ == "__main__":
+    x, wqkv, bias = C.inputs(blk=16)
+    C.run_repro("per-head loop, blk=16 tiles", build(blk=16), x, wqkv, bias)

@@ -188,3 +188,28 @@ def test_parity_report_cli_flags(tmp_path):
     with pytest.raises(SystemExit) as e:
         cli.main(common + ["--parity_report", badpath])
     assert e.value.code == 1
+
+
+def test_forecaster_serving_entry():
+    """Persistent serving path: pre-cast params + donated input buffer
+    produce the same fields as a plain forward (CPU, fast=False)."""
+    from vit_grid_model_tpu.evaluation.serving import Forecaster
+    from vit_grid_model_tpu.models.metnet3 import metnet3_apply
+
+    cfg = MetNet3Config(window_size=3, n_variables=24, n_start_channels=16,
+                        end_lead_time=2, pm25_mean=22.5, pm25_std=15.5,
+                        n_heads=4, dim_head=4)
+    params = metnet3_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 3, 24, 82, 67), dtype=np.float32) * 50
+    ts = np.tile(np.asarray([2023., 1., 15., 6.], np.float32), (1, 7, 1))
+
+    f = Forecaster(params, cfg, fast=False, warmup=1)
+    got = f.predict(x, ts)
+    assert got.shape == (1, 2, 82, 67) and np.isfinite(got).all()
+    want = np.asarray(jax.jit(
+        lambda p, a, b: metnet3_apply(p, a, b, cfg))(params, x, ts))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # repeated predicts reuse the compiled fn and device params
+    got2 = f.predict(x, ts)
+    np.testing.assert_allclose(got2, got, rtol=1e-6)
