@@ -106,6 +106,32 @@ def main():
 
     out["serving_b1_precast_donated"] = round(timeit(serve_once), 2)
 
+    # ---- chip-honest B=1 latency: chain N forwards on device per host
+    # sync.  The per-call numbers above include this rig's ~30ms tunnel
+    # round-trip in EVERY iteration (timeit closes each window with a host
+    # readback); chaining amortizes it away and measures the chip.  The
+    # input is perturbed per iteration or XLA CSE-hoists the body
+    # (docs/RESULTS.md hazard).  On real PCIe hardware the per-call and
+    # chained numbers converge.
+    N = 50
+
+    @jax.jit
+    def chain(p, a, b):
+        def body(i, acc):
+            o = metnet3_apply(p, a + i.astype(a.dtype) * 1e-3, b, scfg)
+            return acc + o.mean()
+        return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+    x1d = jax.device_put(np.asarray(x1h))
+    float(chain(sp_bf16, x1d, ts1))
+    for _ in range(5):
+        float(chain(sp_bf16, x1d, ts1))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(chain(sp_bf16, x1d, ts1))
+    out["serving_b1_onchip_chained"] = round(
+        (time.perf_counter() - t0) / (3 * N) * 1e3, 2)
+
     # ---- B=1 stage breakdown (round-2 verdict item 6) ----
     # partial pipelines through the model's own stage functions; successive
     # differences isolate each stage.  Chip-resident timing via timeit's
@@ -165,6 +191,10 @@ def main():
     for stage in ("stem", "vit", "resnet2", "full"):
         f = through(stage)
         stage_ms[stage] = timeit(lambda: f(sp, x1b, ts1))
+    # NOTE: every stage_ms includes one ~30ms tunnel RTT (host readback per
+    # iteration); successive DIFFERENCES are clean, but the absolute "stem"
+    # number carries the RTT constant.  The honest per-stage split is
+    # obtained by scaling the differences to serving_b1_onchip_chained.
     out["b1_stage_stem"] = round(stage_ms["stem"], 2)
     out["b1_stage_vit"] = round(stage_ms["vit"] - stage_ms["stem"], 2)
     out["b1_stage_resnet2_up"] = round(

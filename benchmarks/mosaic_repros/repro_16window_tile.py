@@ -15,4 +15,9 @@ from benchmarks.mosaic_repros.repro_baseline_perhead import build
 
 if __name__ == "__main__":
     x, wqkv, bias = C.inputs(blk=16)
-    C.run_repro("per-head loop, blk=16 tiles", build(blk=16), x, wqkv, bias)
+    # default 16MB scoped vmem OOMs (22.14M needed — the round-2 'crash');
+    # run both to document the failure AND whether a raised limit unblocks it
+    C.run_repro("per-head loop, blk=16 tiles (default 16MB vmem)",
+                build(blk=16), x, wqkv, bias)
+    C.run_repro("per-head loop, blk=16 tiles (64MB vmem limit)",
+                build(blk=16, vmem_mb=64), x, wqkv, bias)

@@ -50,7 +50,12 @@ def kernel(x_ref, wqkv_ref, bias_ref, o_ref, *, heads, dim_head, blk, n_pad):
     o_ref[...] = jnp.concatenate(outs, -1).astype(o_ref.dtype)
 
 
-def build(blk=C.BLK):
+def build(blk=C.BLK, vmem_mb=None):
+    kwargs = {}
+    if vmem_mb:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
+
     def fn(x, wqkv, bias):
         return pl.pallas_call(
             functools.partial(kernel, heads=C.HEADS, dim_head=C.DIM_HEAD,
@@ -67,6 +72,7 @@ def build(blk=C.BLK):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
                 (C.BW, C.N_PAD, C.HEADS * C.DIM_HEAD), x.dtype),
+            **kwargs,
         )(x, wqkv, bias)
     return fn
 

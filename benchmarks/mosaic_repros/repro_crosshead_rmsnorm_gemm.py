@@ -82,7 +82,7 @@ def build(blk=C.BLK):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
                 (C.BW, C.N_PAD, C.HEADS * C.DIM_HEAD), x.dtype),
-        )(x, wqkv, bias)
+        )(x, wqkv, bias, ind)
     return fn
 
 

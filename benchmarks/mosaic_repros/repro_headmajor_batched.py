@@ -27,12 +27,13 @@ def kernel(x_ref, wqkv_ref, bias_ref, o_ref, *, heads, dim_head, blk, n_pad):
     qkv = jnp.dot(x.reshape(R, dim), wqkv_ref[...],
                   preferred_element_type=jnp.float32)      # (R, 3*h*d)
     # ONE relayout: (R, 3hd) -> (3h, R, d); per-head rows become sublane
-    # (cheap) slices afterwards
+    # (cheap) slices afterwards.  Mosaic's tpu.matmul supports at most ONE
+    # batch dim, so heads and windows fold into a single (h*blk) batch axis.
     qkv_hm = qkv.reshape(R, 3 * heads, dim_head).transpose(1, 0, 2)
-    dim_inner = heads  # groups per section
-    q = qkv_hm[:heads].reshape(heads, blk, n_pad, dim_head)
-    k = qkv_hm[heads:2 * heads].reshape(heads, blk, n_pad, dim_head)
-    v = qkv_hm[2 * heads:].reshape(heads, blk, n_pad, dim_head)
+    hb = heads * blk
+    q = qkv_hm[:heads].reshape(hb, n_pad, dim_head)
+    k = qkv_hm[heads:2 * heads].reshape(hb, n_pad, dim_head)
+    v = qkv_hm[2 * heads:].reshape(hb, n_pad, dim_head)
 
     # batched RMSNorm over all heads at once
     qn = q * jax.lax.rsqrt(
@@ -40,20 +41,21 @@ def kernel(x_ref, wqkv_ref, bias_ref, o_ref, *, heads, dim_head, blk, n_pad):
     kn = k * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
 
-    # head-batched score dot: batch dims (h, blk)
+    # single-batch-dim score dot over all (head, window) pairs
     sim = jax.lax.dot_general(
-        qn, kn, (((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)                # (h, blk, n, n)
-    sim = sim + bias_ref[...][:, None]
+        qn, kn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (h*blk, n, n)
+    bias = jnp.repeat(bias_ref[...], blk, axis=0)          # (h*blk, n, n)
+    sim = sim + bias
     m = jnp.max(sim, -1, keepdims=True)
     e = jnp.exp(sim - m)
     attn = e / jnp.sum(e, -1, keepdims=True)
     o = jax.lax.dot_general(
-        attn, v, (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)                # (h, blk, n, d)
+        attn, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (h*blk, n, d)
     # ONE relayout back: (h, blk, n, d) -> (blk, n, h*d)
-    o_ref[...] = o.transpose(1, 2, 0, 3).reshape(
-        blk, n_pad, heads * dim_head).astype(o_ref.dtype)
+    o_ref[...] = o.reshape(heads, blk, n_pad, dim_head).transpose(
+        1, 2, 0, 3).reshape(blk, n_pad, heads * dim_head).astype(o_ref.dtype)
 
 
 def build(blk=C.BLK):
