@@ -348,12 +348,79 @@ int64_t vg_assemble_sample(const char** paths, int64_t n_steps,
   return ok_count.load();
 }
 
+// Assemble a whole CONSECUTIVE batch directly into its batched,
+// channels-last layout, exploiting the samples' step overlap.  The union of
+// the B samples' step windows is n_union = n_samples - 1 + n_steps
+// timesteps; `paths` is laid out [union_step][cycle] (n_union * 4 files).
+// Sample b's window is union steps [b, b + n_steps); its output tensor
+// out[b] (h, w, (n_steps - hist) * (4S + 4)) keeps steps [b + hist,
+// b + n_steps) (the first `hist` feed only the PM2.5 history).  Each file
+// is read ONCE and its standardized planes scattered into every sample
+// containing its step — every output byte is written exactly once, so the
+// whole batch costs a single fused read+standardize+write pass with no
+// Python-side slice or collate copies (the round-2 BatchLoader spent as
+// long np.stack-ing per-sample copies as assembling them).
+// pm25_out (n_union, 4, h, w) stays union-level for the history means.
+int64_t vg_assemble_batch(const char** paths, int64_t n_union,
+                          int64_t n_samples, int64_t hist, int64_t n_steps,
+                          int64_t n_species, int64_t h, int64_t w,
+                          const float* means, const float* stds,
+                          int64_t pm_index, const float* leads,
+                          float* out, float* pm25_out, int n_threads) {
+  const int64_t hw = h * w;
+  const int64_t bc = 4 * n_species + 4;      // channels per step
+  const int64_t keep = n_steps - hist;       // steps kept per sample
+  const int64_t row_ch = keep * bc;          // channels per sample row
+  std::vector<int64_t> shape = {n_species, h, w};
+  std::atomic<int64_t> ok_count(0);
+
+  run_parallel(n_union * 4, n_threads, [&](int64_t task) {
+    const int64_t u = task / 4;
+    const int64_t cyc = task % 4;
+    std::vector<float> buf(n_species * hw);
+    bool ok = load_npy_f32(paths[task], buf.data(), n_species * hw,
+                           shape) == LOAD_OK;
+    if (!ok) memset(buf.data(), 0, buf.size() * sizeof(float));
+    else ok_count.fetch_add(1);
+    for (int64_t s = 0; s < n_species; ++s) {
+      if (s == pm_index) continue;
+      const float mu = means[s], sd = stds[s];
+      float* p = buf.data() + s * hw;
+      for (int64_t i = 0; i < hw; ++i) p[i] = (p[i] - mu) / sd;
+    }
+    if (pm25_out) {
+      memcpy(pm25_out + (u * 4 + cyc) * hw,
+             buf.data() + pm_index * hw, hw * sizeof(float));
+    }
+    // samples whose kept window [b + hist, b + n_steps) contains step u
+    const int64_t b_lo = std::max<int64_t>(0, u - n_steps + 1);
+    const int64_t b_hi = std::min<int64_t>(n_samples - 1, u - hist);
+    for (int64_t b = b_lo; b <= b_hi; ++b) {
+      const int64_t rel = u - b - hist;
+      const int64_t c0 = rel * bc + cyc * n_species;
+      float* base = out + b * hw * row_ch;
+      for (int64_t i = 0; i < hw; ++i) {
+        float* dst = base + i * row_ch + c0;
+        for (int64_t s = 0; s < n_species; ++s) dst[s] = buf[s * hw + i];
+      }
+      if (cyc == 0) {  // lead channels (dataset.py:848-851), per step
+        const int64_t l0 = rel * bc + 4 * n_species;
+        for (int64_t i = 0; i < hw; ++i) {
+          float* dst = base + i * row_ch + l0;
+          for (int64_t c = 0; c < 4; ++c) dst[c] = leads[u * 4 + c];
+        }
+      }
+    }
+  });
+  return ok_count.load();
+}
+
 // Count of loud load failures (files np.load would accept but this reader
 // zero-filled) since start / last reset — lets callers assert the data
 // plane saw nothing it silently mishandled.
 int64_t vg_unsupported_count() { return g_unsupported.load(); }
 void vg_reset_unsupported_count() { g_unsupported.store(0); }
 
-int vg_abi_version() { return 2; }
+int vg_abi_version() { return 3; }
 
 }  // extern "C"

@@ -240,3 +240,117 @@ def test_get_batch_union_matches_per_sample(tree):
         for a, b in zip([ds[i] for i in idx], ds.get_batch(idx)):
             for x, y in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_get_batch_collated_byte_identical(tree):
+    """The fully-collated native batch path (one ``vg_assemble_batch`` pass
+    straight into the batched (B, H, W, C) layout — no Python slice or
+    np.stack copies for the sim tensor) must be byte-identical to stacking
+    per-sample assembly, for the eval (_only) and train (v3) classes.
+    The fixture geometry has ``hist = prev_len - input_dim = 1 > 0``, so
+    the kept-window offset is exercised too."""
+    from vit_grid_model_tpu.data.datasets import (
+        AirSimulationReanalysisDatasetOnly, AirSimulationReanalysisDatasetV3,
+        _stack)
+
+    times = TU.eval_time_list(datetime(2023, 2, 1, 0),
+                              datetime(2023, 2, 1, 5), 3, 2)
+    rng = np.random.default_rng(1)
+    feats = rng.random((len(times), 6, 12)).astype(np.float32)
+    masks = np.ones((len(times), 6))
+    kwargs = dict(input_dim=2, output_dim=2, prev_len=3, korea_stn_num=4,
+                  china_stn_num=2, cmaq_size=(82, 67),
+                  sim_data_path=tree["sim_data_path"],
+                  reanalysis_data_path=tree["analysis_data_path"],
+                  feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    for cls in (AirSimulationReanalysisDatasetOnly,
+                AirSimulationReanalysisDatasetV3):
+        ds = cls(times, feats, masks, **kwargs)
+        n = min(len(ds), 4)
+        chunk = list(range(n))
+        fast = ds.get_batch_collated(chunk)
+        assert fast is not None
+        assert not ds._sim_cache
+        slow = _stack([ds[i] for i in chunk])
+        assert len(fast) == len(slow)
+        for j, (a, b) in enumerate(zip(fast, slow)):
+            assert a.dtype == b.dtype, (cls.__name__, j)
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"{cls.__name__}[{j}]")
+        # shuffled or single-sample chunks: no fast path
+        assert ds.get_batch_collated([2, 0]) is None
+        assert ds.get_batch_collated([1]) is None
+        # native disabled: no fast path
+        ds.use_native = False
+        assert ds.get_batch_collated(chunk) is None
+        ds.use_native = None
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_assemble_batch_native_matches_union_slices(tree):
+    """``vg_assemble_batch`` == slicing a ``vg_assemble_sample`` union
+    assembly per sample, including the union-level PM2.5 planes."""
+    times = TU.eval_time_list(datetime(2023, 2, 1, 0),
+                              datetime(2023, 2, 1, 5), 3, 2)
+    n_samples, n_steps, hist = 3, 5, 1      # prev_len 3 + output 2, in 2
+    union = times[0: n_samples - 1 + n_steps]
+    batch, pm25_b = native.assemble_batch_native(
+        union, n_samples, hist, n_steps, tree["sim_data_path"],
+        synthetic.DEFAULT_FEAT_INFOS, 6, (82, 67))
+    stack, pm25_u = native.assemble_steps_native(
+        union, tree["sim_data_path"], synthetic.DEFAULT_FEAT_INFOS, 6,
+        (82, 67))
+    np.testing.assert_array_equal(pm25_b, pm25_u)
+    bc = 4 * 6 + 4
+    for b in range(n_samples):
+        np.testing.assert_array_equal(
+            batch[b], stack[:, :, (b + hist) * bc: (b + n_steps) * bc],
+            err_msg=f"sample {b}")
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_batch_loader_uses_collated_fast_path(tree):
+    """The single-dispatch BatchLoader must produce identical batches via
+    the collated fast path, and must NOT use it under a custom collate."""
+    from vit_grid_model_tpu.data.datasets import (
+        AirSimulationReanalysisDatasetOnly)
+    from vit_grid_model_tpu.data.pipeline import BatchLoader
+
+    times = TU.eval_time_list(datetime(2023, 2, 1, 0),
+                              datetime(2023, 2, 1, 5), 3, 2)
+    rng = np.random.default_rng(2)
+    feats = rng.random((len(times), 6, 12)).astype(np.float32)
+    masks = np.ones((len(times), 6))
+    ds = AirSimulationReanalysisDatasetOnly(
+        times, feats, masks, input_dim=2, output_dim=2, prev_len=3,
+        korea_stn_num=4, china_stn_num=2, cmaq_size=(82, 67),
+        sim_data_path=tree["sim_data_path"],
+        reanalysis_data_path=tree["analysis_data_path"],
+        feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+
+    fast = list(BatchLoader(ds, batch_size=2, dispatch="single"))
+    ds.use_native = False       # forces per-sample numpy assembly
+    slow = list(BatchLoader(ds, batch_size=2, dispatch="single"))
+    ds.use_native = None
+    assert len(fast) == len(slow) > 0
+    for fb, sb in zip(fast, slow):
+        for j, (a, b) in enumerate(zip(fb, sb)):
+            np.testing.assert_array_equal(a, b, err_msg=f"field {j}")
+
+    # custom collate: the loader must fall back to collate(samples)
+    calls = []
+
+    def my_collate(samples):
+        calls.append(len(samples))
+        return tuple(np.stack(f) for f in zip(*samples))
+
+    custom = list(BatchLoader(ds, batch_size=2, dispatch="single",
+                              collate=my_collate))
+    assert calls and len(custom) == len(fast)
+    for fb, cb in zip(fast, custom):
+        for a, b in zip(fb, cb):
+            np.testing.assert_array_equal(a, b)

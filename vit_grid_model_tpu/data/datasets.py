@@ -226,6 +226,69 @@ class _LazyCmaqDataset(_WindowedDataset):
     #: V2) benefit from batch-level union assembly
     _uses_full_sim = True
 
+    #: (sim_position, prev_position) in the sample tuple, for subclasses
+    #: that opt into the fully-collated native batch path
+    #: (``get_batch_collated``); None = per-sample assembly + np.stack
+    _sim_slots: Optional[Tuple[int, int]] = None
+
+    def get_batch_collated(self, indices):
+        """Assemble a consecutive batch DIRECTLY into its final batched
+        arrays, or return None when the fast path doesn't apply.
+
+        The round-2 loader assembled per-sample tensors and ``np.stack``-ed
+        them — profiling showed the stack copy costs as much as assembly
+        itself (each flagship sim tensor is ~15 MB).  Here the native
+        ``vg_assemble_batch`` pass writes the batched (B, H, W, C) layout
+        straight from the files (every output byte written once); only the
+        small per-sample fields (reanalysis windows, classes, times) go
+        through ``np.stack``.  Byte-identical to
+        ``collate([self[i] for i in indices])`` (tested).
+        """
+        indices = [int(i) for i in indices]
+        consecutive = all(b - a == 1 for a, b in
+                          zip(indices, indices[1:]))
+        if (self._sim_slots is None or not consecutive or len(indices) < 2
+                or not self._uses_full_sim or self.use_native is False):
+            return None
+        from vit_grid_model_tpu.data import native
+
+        if not native.available():
+            return None
+        n_steps = self.prev_len + self.output_dim
+        hist = self.prev_len - self.input_dim
+        steps = self.times[indices[0]: indices[-1] + n_steps]
+        out = native.assemble_batch_native(
+            steps, len(indices), hist, n_steps, self.sim_data_path,
+            self.feat_infos, self.n_species, self.cmaq_size)
+        if out is None:
+            return None
+        sims, pm25 = out
+        sim_pos, prev_pos = self._sim_slots
+        prevs = np.stack([pm25[b: b + self.prev_len].mean(axis=1)
+                          for b in range(len(indices))])
+        # park placeholder views so _simulation_and_prev is not re-entered;
+        # the per-sample tuples carry them only until the fields swap below
+        try:
+            for b, idx in enumerate(indices):
+                self._sim_cache[idx] = (sims[b], prevs[b])
+            samples = [self[i] for i in indices]
+        finally:
+            self._sim_cache.clear()
+        # the parked views must surface at the declared slots — a
+        # misdeclared _sim_slots would otherwise stack views (slow) and
+        # drop a real field (wrong)
+        assert samples[0][sim_pos].base is sims, "bad _sim_slots[0]"
+        assert samples[0][prev_pos].base is prevs, "bad _sim_slots[1]"
+        fields = []
+        for j, field in enumerate(zip(*samples)):
+            if j == sim_pos:
+                fields.append(sims)
+            elif j == prev_pos:
+                fields.append(prevs)
+            else:
+                fields.append(np.stack(field, axis=0))
+        return tuple(fields)
+
     def get_batch(self, indices):
         """Assemble a whole batch, exploiting step overlap.
 
@@ -267,10 +330,12 @@ class _LazyCmaqDataset(_WindowedDataset):
         bc = 4 * self.n_species + 4
         hist = self.prev_len - self.input_dim
         for b, idx in enumerate(indices):
-            sim = np.ascontiguousarray(
-                stack[:, :, (b + hist) * bc: (b + n_steps) * bc])
+            # channel-slice VIEWS of the union stack: downstream collate
+            # (np.stack) makes the one contiguous copy — an
+            # ascontiguousarray here would copy every sample twice
+            sim = stack[:, :, (b + hist) * bc: (b + n_steps) * bc]
             prev = pm25[b: b + self.prev_len].mean(axis=1)
-            self._sim_cache[idx] = (sim, np.ascontiguousarray(prev))
+            self._sim_cache[idx] = (sim, prev)
 
     def _simulation_and_prev(self, idx):
         if self._sim_cache:
@@ -336,6 +401,8 @@ class AirSimulationReanalysisDatasetV3(_LazyCmaqDataset):
     and future reanalysis + classes + grid PM history
     (``dataset.py:676-1045``)."""
 
+    _sim_slots = (2, 7)        # (feats, masks, SIM, curr, re, cls, t, PREV)
+
     def __getitem__(self, idx):
         sim, prev_pm25 = self._simulation_and_prev(idx)
         curr, re = self._reanalysis_window(idx)
@@ -347,6 +414,8 @@ class AirSimulationReanalysisDatasetV3(_LazyCmaqDataset):
 class AirSimulationReanalysisDatasetOnly(_LazyCmaqDataset):
     """The shipped eval dataset: v3 without the station tensors in the
     return (``dataset.py:1058-1428``; used at ``evaluation_vit.py:137``)."""
+
+    _sim_slots = (0, 5)        # (SIM, curr, re, cls, t, PREV)
 
     def __getitem__(self, idx):
         sim, prev_pm25 = self._simulation_and_prev(idx)

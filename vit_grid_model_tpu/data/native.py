@@ -35,28 +35,49 @@ _lib = None
 _tried = False
 
 
+ABI_VERSION = 3
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["sh", os.path.join(_LIB_DIR, "build.sh")],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _try_open() -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.vg_abi_version.restype = ctypes.c_int
+        if lib.vg_abi_version() != ABI_VERSION:
+            return None
+        lib.vg_assemble_sample.restype = ctypes.c_int64
+        lib.vg_assemble_batch.restype = ctypes.c_int64
+        lib.vg_load_cycle_files.restype = ctypes.c_int64
+        lib.vg_unsupported_count.restype = ctypes.c_int64
+        return lib
+    except Exception:
+        return None
+
+
 def _load_library() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(["sh", os.path.join(_LIB_DIR, "build.sh")],
-                               check=True, capture_output=True, timeout=120)
-            except Exception:
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.vg_abi_version.restype = ctypes.c_int
-            assert lib.vg_abi_version() == 2
-            lib.vg_assemble_sample.restype = ctypes.c_int64
-            lib.vg_load_cycle_files.restype = ctypes.c_int64
-            lib.vg_unsupported_count.restype = ctypes.c_int64
-            _lib = lib
-        except Exception:
-            _lib = None
+        if os.path.exists(_LIB_PATH):
+            _lib = _try_open()
+        # missing, unloadable, or stale-ABI .so: (re)build once.  NOTE a
+        # stale version already dlopened in this process would be pinned by
+        # the OS loader — the rebuilt file has the same path but CDLL would
+        # return the cached handle; in practice _try_open fails before any
+        # symbol is cached, and the rebuild produces a fresh inode (g++ -o
+        # replaces the file), so the second CDLL maps the new library.
+        if _lib is None and _build():
+            _lib = _try_open()
         return _lib
 
 
@@ -107,10 +128,61 @@ def assemble_steps_native(times_kst: Sequence[datetime], sim_data_path: str,
                        np.float32)
     stds = np.asarray([feat_infos[s][1] for s in SPECIES[:n_species]],
                       np.float32)
-    out = np.zeros((h, w, t_steps * (4 * n_species + 4)), np.float32)
-    pm25 = np.zeros((t_steps, 4, h, w), np.float32)
+    # np.empty: the native pass writes every output byte (failed file loads
+    # scatter zeroed buffers), so pre-zeroing is a wasted memory pass
+    out = np.empty((h, w, t_steps * (4 * n_species + 4)), np.float32)
+    pm25 = np.empty((t_steps, 4, h, w), np.float32)
     lib.vg_assemble_sample(
         _c_paths(paths), ctypes.c_int64(t_steps), ctypes.c_int64(n_species),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(PM25_SPECIES_INDEX),
+        leads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pm25.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(n_threads))
+    return out, pm25
+
+
+def assemble_batch_native(times_kst: Sequence[datetime], n_samples: int,
+                          hist: int, n_steps: int, sim_data_path: str,
+                          feat_infos: Dict[str, Tuple[float, float]],
+                          n_species: int, grid_shape: Tuple[int, int],
+                          n_threads: int = 4
+                          ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Assemble a consecutive batch's CMAQ tensors directly into the final
+    batched layout in one native pass (``vg_assemble_batch``).
+
+    ``times_kst`` is the UNION of the batch's step windows
+    (``n_samples - 1 + n_steps`` consecutive hours); sample ``b`` keeps
+    steps ``[b + hist, b + n_steps)``.  Returns
+    ``(batch (B, H, W, (n_steps-hist)*(4S+4)), pm25 (U, 4, H, W))`` —
+    ``pm25`` stays union-level so callers can take per-sample history
+    means — or None when the native library is unavailable."""
+    lib = _load_library()
+    if lib is None:
+        return None
+    h, w = grid_shape
+    n_union = len(times_kst)
+    assert n_union == n_samples - 1 + n_steps, (n_union, n_samples, n_steps)
+    paths, leads = [], np.zeros((n_union, 4), np.float32)
+    for ti, t in enumerate(times_kst):
+        for ci, ref in enumerate(cycle_refs(kst_to_utc(t))):
+            paths.append(cmaq_file_name(sim_data_path, ref))
+            leads[ti, ci] = ref.lead
+    means = np.asarray([feat_infos[s][0] for s in SPECIES[:n_species]],
+                       np.float32)
+    stds = np.asarray([feat_infos[s][1] for s in SPECIES[:n_species]],
+                      np.float32)
+    bc = 4 * n_species + 4
+    # np.empty: every byte of both outputs is written by the native pass
+    out = np.empty((n_samples, h, w, (n_steps - hist) * bc), np.float32)
+    pm25 = np.empty((n_union, 4, h, w), np.float32)
+    lib.vg_assemble_batch(
+        _c_paths(paths), ctypes.c_int64(n_union),
+        ctypes.c_int64(n_samples), ctypes.c_int64(hist),
+        ctypes.c_int64(n_steps), ctypes.c_int64(n_species),
         ctypes.c_int64(h), ctypes.c_int64(w),
         means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         stds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -39,6 +39,10 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = max(1, prefetch_batches)
         self.drop_last = drop_last
+        # get_batch_collated produces batches equivalent to the dataset's
+        # own collate over get_batch; it can only replace the stack step
+        # when the caller didn't override collate
+        self._stock_collate = collate is None
         self.collate = collate or getattr(dataset, "collate", None) or (
             lambda samples: tuple(np.stack(f) for f in zip(*samples)))
         # "single": one dispatcher thread, sequential __getitem__ — the
@@ -99,17 +103,27 @@ class BatchLoader:
                     # the native assembler's internal pool is the only
                     # parallelism; the prefetch queue double-buffers the
                     # collated batch against the consumer's device_put +
-                    # compute.  get_batch (when the dataset offers it)
-                    # assembles the whole batch's step UNION in one native
-                    # pass — consecutive samples share all but one step.
+                    # compute.  Preference order per batch:
+                    # get_batch_collated (one native pass STRAIGHT into the
+                    # batched arrays — no slice/stack copies) ->
+                    # get_batch (union assembly, then collate) ->
+                    # per-sample __getitem__.
+                    get_collated = (getattr(self.dataset,
+                                            "get_batch_collated", None)
+                                    if self._stock_collate else None)
                     get_batch = getattr(self.dataset, "get_batch", None)
                     get = self.dataset.__getitem__
                     for chunk in self._batch_indices():
                         if stop.is_set():
                             return
-                        samples = (get_batch(chunk) if get_batch is not None
-                                   else [get(i) for i in chunk])
-                        if not put(("batch", self.collate(samples))):
+                        batch = (get_collated(chunk)
+                                 if get_collated is not None else None)
+                        if batch is None:
+                            samples = (get_batch(chunk)
+                                       if get_batch is not None
+                                       else [get(i) for i in chunk])
+                            batch = self.collate(samples)
+                        if not put(("batch", batch)):
                             return
                 else:
                     with ThreadPoolExecutor(self.num_workers) as pool:
