@@ -90,11 +90,15 @@ def main():
 
     ours.use_native = None   # auto
     # dispatch="auto" resolves to the single-dispatcher mode on the native
-    # plane (one sequential caller; the C++ pool is the only parallelism);
-    # the legacy pool mode is kept for the delta
-    for label, dispatch in (("batch_loader_e2e", "auto"),
-                            ("batch_loader_pool_mode", "pool")):
-        loader = BatchLoader(ours, batch_size=4, num_workers=4,
+    # plane (one sequential caller; the C++ pool is the only parallelism,
+    # and get_batch_collated assembles straight into the batched layout);
+    # the legacy pool mode is kept for the delta.  B=25 is the reference's
+    # actual eval geometry (evaluation_vit.py:138) — union step sharing is
+    # (25-1+25)/25 = 1.96 reads per sample vs 25.
+    for label, dispatch, bs in (("batch_loader_e2e", "auto", 4),
+                                ("batch_loader_pool_mode", "pool", 4),
+                                ("batch_loader_e2e_b25", "auto", 25)):
+        loader = BatchLoader(ours, batch_size=bs, num_workers=4,
                              dispatch=dispatch)
         t0 = time.perf_counter()
         seen = 0

@@ -34,6 +34,11 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+#: native read/assemble pool width — 4 overlaps file I/O even on small
+#: hosts; raise via VGM_NATIVE_THREADS on real many-core rigs (the pass
+#: scales with cores until storage saturates)
+DEFAULT_THREADS = max(1, int(os.environ.get("VGM_NATIVE_THREADS", "4")))
+
 
 ABI_VERSION = 3
 
@@ -70,12 +75,10 @@ def _load_library() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.path.exists(_LIB_PATH):
             _lib = _try_open()
-        # missing, unloadable, or stale-ABI .so: (re)build once.  NOTE a
-        # stale version already dlopened in this process would be pinned by
-        # the OS loader — the rebuilt file has the same path but CDLL would
-        # return the cached handle; in practice _try_open fails before any
-        # symbol is cached, and the rebuild produces a fresh inode (g++ -o
-        # replaces the file), so the second CDLL maps the new library.
+        # missing, unloadable, or stale-ABI .so: (re)build once.  The
+        # stale library stays dlopened (harmless), but build.sh renames a
+        # fresh inode into place, so the second CDLL maps the NEW file
+        # rather than returning the pinned stale handle.
         if _lib is None and _build():
             _lib = _try_open()
         return _lib
@@ -109,7 +112,7 @@ def _c_paths(paths: Sequence[str]):
 def assemble_steps_native(times_kst: Sequence[datetime], sim_data_path: str,
                           feat_infos: Dict[str, Tuple[float, float]],
                           n_species: int, grid_shape: Tuple[int, int],
-                          n_threads: int = 4
+                          n_threads: int = DEFAULT_THREADS
                           ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Assemble the stacked blocks for a list of KST timesteps in one native
     call.  Returns (stack (H, W, T*(4S+4)), pm25 (T, 4, H, W)) or None when
@@ -149,7 +152,7 @@ def assemble_batch_native(times_kst: Sequence[datetime], n_samples: int,
                           hist: int, n_steps: int, sim_data_path: str,
                           feat_infos: Dict[str, Tuple[float, float]],
                           n_species: int, grid_shape: Tuple[int, int],
-                          n_threads: int = 4
+                          n_threads: int = DEFAULT_THREADS
                           ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Assemble a consecutive batch's CMAQ tensors directly into the final
     batched layout in one native pass (``vg_assemble_batch``).
@@ -196,7 +199,7 @@ def assemble_batch_native(times_kst: Sequence[datetime], n_samples: int,
 
 def load_cycle_files_native(paths: Sequence[str], n_species: int,
                             grid_shape: Tuple[int, int],
-                            n_threads: int = 4) -> Optional[np.ndarray]:
+                            n_threads: int = DEFAULT_THREADS) -> Optional[np.ndarray]:
     """Bulk-load raw cycle files -> (N, S, H, W), zero-filled faults."""
     lib = _load_library()
     if lib is None:
