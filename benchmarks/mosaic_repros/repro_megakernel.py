@@ -54,6 +54,11 @@ LN_EPS = 1e-5
 RMS_EPS = 1e-12
 
 
+ONE_PASS = "--one-pass" in sys.argv   # fallback: halves live VMEM (no
+                                      # all-heads sims list) if the
+                                      # two-pass body hangs the compiler
+
+
 def _attn_inner(tokens, gamma, beta, wqkv, qg, kg, wout, bias, in_dtype):
     """Two-pass per-head attention over (NWIN, N_PAD, DIM) f32 tokens —
     the shipping kernel's math at the mega tile size."""
@@ -65,8 +70,7 @@ def _attn_inner(tokens, gamma, beta, wqkv, qg, kg, wout, bias, in_dtype):
                   preferred_element_type=jnp.float32)
     dim_inner = HEADS * DIM_HEAD
     scale = DIM_HEAD ** 0.5
-    sims, vs = [], []
-    for h in range(HEADS):
+    def head_qkv(h):
         q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD
                 ].reshape(NWIN, N_PAD, DIM_HEAD)
         k = qkv[:, dim_inner + h * DIM_HEAD:
@@ -74,6 +78,9 @@ def _attn_inner(tokens, gamma, beta, wqkv, qg, kg, wout, bias, in_dtype):
         v = qkv[:, 2 * dim_inner + h * DIM_HEAD:
                 2 * dim_inner + (h + 1) * DIM_HEAD
                 ].reshape(NWIN, N_PAD, DIM_HEAD)
+        return q, k, v
+
+    def head_sim(h, q, k):
         qn = q * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(q * q, -1, keepdims=True), RMS_EPS ** 2))
         kn = k * jax.lax.rsqrt(
@@ -83,17 +90,28 @@ def _attn_inner(tokens, gamma, beta, wqkv, qg, kg, wout, bias, in_dtype):
         sim = jax.lax.dot_general(
             qn, kn, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        sims.append(sim + bias[h][None])
-        vs.append(v)
-    outs = []
-    for h in range(HEADS):
-        sim = sims[h]
+        return sim + bias[h][None]
+
+    def head_agg(sim, v):
         m = jnp.max(sim, axis=-1, keepdims=True)
         e = jnp.exp(sim - m)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            attn, vs[h], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
+        return jax.lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    if ONE_PASS:
+        outs = []
+        for h in range(HEADS):
+            q, k, v = head_qkv(h)
+            outs.append(head_agg(head_sim(h, q, k), v))
+    else:
+        sims, vs = [], []
+        for h in range(HEADS):
+            q, k, v = head_qkv(h)
+            sims.append(head_sim(h, q, k))
+            vs.append(v)
+        outs = [head_agg(sims[h], vs[h]) for h in range(HEADS)]
     out = jnp.concatenate(outs, axis=-1)
     y = jnp.dot(out.astype(in_dtype).reshape(NWIN * N_PAD, HEADS * DIM_HEAD),
                 wout, preferred_element_type=jnp.float32)
