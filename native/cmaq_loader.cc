@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -35,6 +36,32 @@ namespace {
 // ---------------------------------------------------------------------------
 
 std::atomic<int64_t> g_unsupported(0);
+
+// Multi-MB staging buffers are reused across calls: a fresh allocation of
+// this size is a new mmap whose first-touch page faults serialize in the
+// kernel, the same storm the Python output pool avoids (data/native.py).
+// resize() never shrinks capacity, so a recycled vector is already
+// faulted in.
+std::mutex g_stage_mutex;
+std::vector<std::vector<float>> g_stage_pool;
+
+std::vector<float> acquire_stage(size_t n) {
+  std::vector<float> v;
+  {
+    std::lock_guard<std::mutex> lk(g_stage_mutex);
+    if (!g_stage_pool.empty()) {
+      v = std::move(g_stage_pool.back());
+      g_stage_pool.pop_back();
+    }
+  }
+  v.resize(n);
+  return v;
+}
+
+void release_stage(std::vector<float>&& v) {
+  std::lock_guard<std::mutex> lk(g_stage_mutex);
+  if (g_stage_pool.size() < 2) g_stage_pool.push_back(std::move(v));
+}
 
 bool parse_shape(const std::string& header, std::vector<int64_t>* shape) {
   auto pos = header.find("'shape':");
@@ -353,7 +380,8 @@ int64_t vg_assemble_batch(const char** paths, int64_t n_union,
   std::atomic<int64_t> ok_count(0);
 
   // phase 1: staged standardized planes, raw[((u*4+cyc)*S + s)*hw + i]
-  std::vector<float> raw((size_t)(n_union * 4 * n_species * hw));
+  std::vector<float> raw =
+      acquire_stage((size_t)(n_union * 4 * n_species * hw));
   run_parallel(n_union * 4, n_threads, [&](int64_t task) {
     const int64_t u = task / 4;
     const int64_t cyc = task % 4;
@@ -397,6 +425,7 @@ int64_t vg_assemble_batch(const char** paths, int64_t n_union,
       }
     }
   });
+  release_stage(std::move(raw));
   return ok_count.load();
 }
 

@@ -354,3 +354,26 @@ def test_batch_loader_uses_collated_fast_path(tree):
     for fb, cb in zip(fast, custom):
         for a, b in zip(fb, cb):
             np.testing.assert_array_equal(a, b)
+
+
+def test_output_pool_reuse_and_no_aliasing():
+    """The output pool hands back an idle buffer, but never one that any
+    external holder (queued batch, view, staged transfer) still references."""
+    from vit_grid_model_tpu.data.native import _OutputPool
+
+    pool = _OutputPool(max_per_key=2)
+    a = pool.get((4, 8))
+    assert pool.get((4, 8)) is not a          # `a` is held -> fresh buffer
+    b = pool.get((4, 8))
+    view = b[1:]                              # a view keeps `b` busy
+    addr_a = a.ctypes.data
+    del a
+    c = pool.get((4, 8))
+    assert c.ctypes.data == addr_a            # idle slot -> reused
+    assert pool.get((4, 8)) is not b          # still viewed -> not reused
+    addr_b = b.ctypes.data
+    del b                                     # ...but the view still holds it
+    assert pool.get((4, 8)).ctypes.data != addr_b
+    del view                                  # last holder gone -> reusable
+    assert pool.get((4, 8)).ctypes.data == addr_b
+    assert pool.get((2, 2)).shape == (2, 2)   # distinct key, distinct pool

@@ -16,6 +16,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 import threading
 from datetime import datetime
 from typing import Dict, Optional, Sequence, Tuple
@@ -103,6 +104,52 @@ def reset_unsupported_count() -> None:
         lib.vg_reset_unsupported_count()
 
 
+class _OutputPool:
+    """Reuse the large output arrays across assembly calls.
+
+    A fresh multi-hundred-MB ``np.empty`` is a new anonymous mmap whose
+    first-touch page faults serialize in the kernel: writing one flagship
+    B=25 batch into a fresh allocation costs ~4 s at 94% system time vs
+    ~0.22 s into an already-faulted buffer (docs/RESULTS.md, round 3).  In
+    the prefetching loader every batch used to pay that storm, because the
+    queued batches kept prior arrays alive and each call allocated anew.
+
+    ``get`` returns a pooled array only when the pool holds the ONLY
+    reference to it (refcount probe) — a batch still queued, staged, or
+    viewed downstream keeps its refcount elevated, so handing out an
+    aliased buffer is impossible by construction.  When every pooled
+    buffer is busy the call falls back to a fresh allocation (correct,
+    just slower), so the pool is a pure fast path.
+    """
+
+    def __init__(self, max_per_key: int = 3):
+        self._max = max_per_key
+        self._lock = threading.Lock()
+        self._bufs: Dict[tuple, list] = {}
+
+    def get(self, shape, dtype=np.float32) -> np.ndarray:
+        key = (tuple(int(s) for s in shape), np.dtype(dtype).str)
+        with self._lock:
+            bufs = self._bufs.setdefault(key, [])
+            for arr in bufs:
+                # refs while probing: the pool slot, the loop variable,
+                # and getrefcount's argument == 3; any external holder
+                # (queued batch, numpy view, in-flight device_put) adds
+                if sys.getrefcount(arr) == 3:
+                    return arr
+            arr = np.empty(key[0], dtype)
+            if len(bufs) < self._max:
+                bufs.append(arr)
+            return arr
+
+    def clear(self) -> None:
+        with self._lock:
+            self._bufs.clear()
+
+
+_output_pool = _OutputPool()
+
+
 def _c_paths(paths: Sequence[str]):
     arr = (ctypes.c_char_p * len(paths))()
     arr[:] = [p.encode() for p in paths]
@@ -131,10 +178,11 @@ def assemble_steps_native(times_kst: Sequence[datetime], sim_data_path: str,
                        np.float32)
     stds = np.asarray([feat_infos[s][1] for s in SPECIES[:n_species]],
                       np.float32)
-    # np.empty: the native pass writes every output byte (failed file loads
-    # scatter zeroed buffers), so pre-zeroing is a wasted memory pass
-    out = np.empty((h, w, t_steps * (4 * n_species + 4)), np.float32)
-    pm25 = np.empty((t_steps, 4, h, w), np.float32)
+    # pooled buffers: the native pass writes every output byte (failed
+    # file loads stage zeroed planes), so no pre-zeroing is needed and a
+    # reused, already-faulted allocation is safe
+    out = _output_pool.get((h, w, t_steps * (4 * n_species + 4)))
+    pm25 = _output_pool.get((t_steps, 4, h, w))
     lib.vg_assemble_sample(
         _c_paths(paths), ctypes.c_int64(t_steps), ctypes.c_int64(n_species),
         ctypes.c_int64(h), ctypes.c_int64(w),
@@ -179,9 +227,10 @@ def assemble_batch_native(times_kst: Sequence[datetime], n_samples: int,
     stds = np.asarray([feat_infos[s][1] for s in SPECIES[:n_species]],
                       np.float32)
     bc = 4 * n_species + 4
-    # np.empty: every byte of both outputs is written by the native pass
-    out = np.empty((n_samples, h, w, (n_steps - hist) * bc), np.float32)
-    pm25 = np.empty((n_union, 4, h, w), np.float32)
+    # pooled buffers: every byte of both outputs is written by the native
+    # pass, so a reused, already-faulted allocation is safe
+    out = _output_pool.get((n_samples, h, w, (n_steps - hist) * bc))
+    pm25 = _output_pool.get((n_union, 4, h, w))
     lib.vg_assemble_batch(
         _c_paths(paths), ctypes.c_int64(n_union),
         ctypes.c_int64(n_samples), ctypes.c_int64(hist),
