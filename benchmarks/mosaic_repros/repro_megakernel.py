@@ -57,19 +57,89 @@ RMS_EPS = 1e-12
 ONE_PASS = "--one-pass" in sys.argv   # fallback: halves live VMEM (no
                                       # all-heads sims list) if the
                                       # two-pass body hangs the compiler
+FORI = "--fori" in sys.argv           # fallback: fori_loop over head CHUNKS
+                                      # with per-chunk LEADING-axis weight
+                                      # tensors (no dynamic lane slicing,
+                                      # which Mosaic cannot do) — shrinks
+                                      # the unrolled 64-head-block program
+                                      # that hangs the compiler by
+                                      # HEADS/CHUNK per attention
+# heads unrolled per fori iteration; 1 = fully serial (measured 0.63x:
+# rank-32 out-projections starve the MXU), 8 = the sweet spot candidate
+CHUNK = (int(sys.argv[sys.argv.index("--chunk") + 1])
+         if "--chunk" in sys.argv else 8)
 
 
 def _attn_inner(tokens, gamma, beta, wqkv, qg, kg, wout, bias, in_dtype):
     """Two-pass per-head attention over (NWIN, N_PAD, DIM) f32 tokens —
-    the shipping kernel's math at the mega tile size."""
+    the shipping kernel's math at the mega tile size.
+
+    ``wqkv``/``qg``/``kg``/``wout``/``bias`` are passed as REFS: the FORI
+    branch indexes them with the loop head index (a dynamic leading-dim
+    VMEM load — the only dynamic indexing Mosaic supports), the unrolled
+    branches load them whole."""
     mean = jnp.mean(tokens, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(tokens - mean), axis=-1, keepdims=True)
     xn = (tokens - mean) * jax.lax.rsqrt(var + LN_EPS)
     xn = xn * gamma[None, None, :] + beta[None, None, :]
+    scale = DIM_HEAD ** 0.5
+
+    if FORI:
+        # fori_loop over head CHUNKS: weights arrive as per-chunk
+        # LEADING-axis tensors (wqkv (NC, DIM, 3*CH*DH), wout
+        # (NC, CH*DH, DIM), qg/kg (NC, 1, CH*DH), bias
+        # (NC, CH, N_PAD, N_PAD)) and are indexed as REFS — `ref[c]` on
+        # an untiled leading dim lowers to a dynamic VMEM load, whereas
+        # dynamic_slice on a loaded array has no Mosaic lowering at all
+        # ("Unimplemented primitive ... dynamic_slice").  Within a chunk
+        # the CH heads are unrolled with STATIC lane slices, keeping the
+        # qkv and out-projection GEMMs MXU-sized; the per-chunk partial
+        # sums into y replace the all-heads concat + one projection
+        # (identical math, different float-add order).
+        xf = xn.astype(in_dtype).reshape(NWIN * N_PAD, DIM)
+        nc = HEADS // CHUNK
+        cd = CHUNK * DIM_HEAD
+
+        def body(c, y):
+            qkv = jnp.dot(xf, wqkv[c], preferred_element_type=jnp.float32)
+            qg_c, kg_c, bias_c = qg[c], kg[c], bias[c]
+            outs = []
+            for j in range(CHUNK):
+                s = j * DIM_HEAD
+                q = qkv[:, s:s + DIM_HEAD].reshape(NWIN, N_PAD, DIM_HEAD)
+                k = qkv[:, cd + s:cd + s + DIM_HEAD
+                        ].reshape(NWIN, N_PAD, DIM_HEAD)
+                v = qkv[:, 2 * cd + s:2 * cd + s + DIM_HEAD
+                        ].reshape(NWIN, N_PAD, DIM_HEAD)
+                qn = q * jax.lax.rsqrt(jnp.maximum(
+                    jnp.sum(q * q, -1, keepdims=True), RMS_EPS ** 2))
+                kn = k * jax.lax.rsqrt(jnp.maximum(
+                    jnp.sum(k * k, -1, keepdims=True), RMS_EPS ** 2))
+                qn = qn * (scale * qg_c[0, s:s + DIM_HEAD])
+                kn = kn * (scale * kg_c[0, s:s + DIM_HEAD])
+                sim = jax.lax.dot_general(
+                    qn, kn, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                sim = sim + bias_c[j][None]
+                m = jnp.max(sim, axis=-1, keepdims=True)
+                e = jnp.exp(sim - m)
+                attn = e / jnp.sum(e, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    attn, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))
+            oc = jnp.concatenate(outs, axis=-1).astype(in_dtype)
+            return y + jnp.dot(oc.reshape(NWIN * N_PAD, cd), wout[c],
+                               preferred_element_type=jnp.float32)
+
+        y = jax.lax.fori_loop(
+            0, nc, body, jnp.zeros((NWIN * N_PAD, DIM), jnp.float32))
+        return y.reshape(NWIN, N_PAD, DIM)
+
+    wqkv, qg, kg = wqkv[...], qg[...], kg[...]
+    wout, bias = wout[...], bias[...]
     qkv = jnp.dot(xn.astype(in_dtype).reshape(NWIN * N_PAD, DIM), wqkv,
                   preferred_element_type=jnp.float32)
     dim_inner = HEADS * DIM_HEAD
-    scale = DIM_HEAD ** 0.5
     def head_qkv(h):
         q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD
                 ].reshape(NWIN, N_PAD, DIM_HEAD)
@@ -133,9 +203,8 @@ def kernel(x_ref, reg_ref, g1_ref, b1_ref, wqkv1_ref, qg1_ref, kg1_ref,
     tokens = jnp.pad(tokens, ((0, 0), (0, N_PAD - N), (0, 0)))
 
     y = _attn_inner(tokens, g1_ref[0, 0].astype(jnp.float32),
-                    b1_ref[0, 0].astype(jnp.float32), wqkv1_ref[...],
-                    qg1_ref[...], kg1_ref[...], wout1_ref[...],
-                    bias1_ref[...], in_dtype)
+                    b1_ref[0, 0].astype(jnp.float32), wqkv1_ref,
+                    qg1_ref, kg1_ref, wout1_ref, bias1_ref, in_dtype)
     tokens = y + tokens                                    # residual
 
     # ---- register mean across this sample-lead's windows ----
@@ -151,9 +220,8 @@ def kernel(x_ref, reg_ref, g1_ref, b1_ref, wqkv1_ref, qg1_ref, kg1_ref,
     tokens2 = jnp.pad(tokens2, ((0, 0), (0, N_PAD - N), (0, 0)))
 
     y2 = _attn_inner(tokens2, g2_ref[0, 0].astype(jnp.float32),
-                     b2_ref[0, 0].astype(jnp.float32), wqkv2_ref[...],
-                     qg2_ref[...], kg2_ref[...], wout2_ref[...],
-                     bias2_ref[...], in_dtype)
+                     b2_ref[0, 0].astype(jnp.float32), wqkv2_ref,
+                     qg2_ref, kg2_ref, wout2_ref, bias2_ref, in_dtype)
     tokens2 = y2 + tokens2
 
     # ---- grid reverse ----
@@ -169,6 +237,9 @@ def build(pb, pg, regs, cond, vmem_mb=110):
     bias_idx = W.relative_position_indices(WIN, NR)
     bias1 = _prep_bias(pb, bias_idx, N, N_PAD)
     bias2 = _prep_bias(pg, bias_idx, N, N_PAD)
+    if FORI:   # per-chunk leading axis, indexed bias_ref[c] in-kernel
+        bias1 = bias1.reshape(HEADS // CHUNK, CHUNK, N_PAD, N_PAD)
+        bias2 = bias2.reshape(HEADS // CHUNK, CHUNK, N_PAD, N_PAD)
     dt = jnp.bfloat16
 
     def per_attn_ops(p, g, b):
@@ -176,6 +247,22 @@ def build(pb, pg, regs, cond, vmem_mb=110):
         # (8, 128) or equal to the array dims — (1, DIM) blocks of an
         # (S, DIM) array violate the sublane rule, (1, 1, DIM) of
         # (S, 1, DIM) satisfies it
+        if FORI:
+            # per-chunk leading-axis layouts (see _attn_inner FORI branch)
+            di = HEADS * DIM_HEAD
+            nc, cd = HEADS // CHUNK, CHUNK * DIM_HEAD
+            w = p["to_qkv"]["w"]
+            wq, wk, wv = (w[:, i * di:(i + 1) * di].reshape(DIM, nc, cd)
+                          for i in range(3))
+            w3 = jnp.concatenate([wq, wk, wv], -1).transpose(1, 0, 2)
+            wo = p["to_out"]["w"].reshape(nc, cd, DIM)
+            return [g.astype(dt)[:, None, :], b.astype(dt)[:, None, :],
+                    w3.astype(dt),
+                    p["q_norm"]["gamma"].reshape(nc, 1, cd
+                                                 ).astype(jnp.float32),
+                    p["k_norm"]["gamma"].reshape(nc, 1, cd
+                                                 ).astype(jnp.float32),
+                    wo.astype(dt)]
         return [g.astype(dt)[:, None, :], b.astype(dt)[:, None, :],
                 p["to_qkv"]["w"].astype(dt),
                 p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
@@ -202,6 +289,7 @@ def build(pb, pg, regs, cond, vmem_mb=110):
             out_shape=jax.ShapeDtypeStruct((S, H, Wd, DIM), x.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_mb * 1024 * 1024),
+            interpret="--interpret" in sys.argv,
         )(x, *operands)
     return fn
 
