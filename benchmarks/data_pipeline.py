@@ -95,16 +95,24 @@ def main():
     # the legacy pool mode is kept for the delta.  B=25 is the reference's
     # actual eval geometry (evaluation_vit.py:138) — union step sharing is
     # (25-1+25)/25 = 1.96 reads per sample vs 25.
+    # Two epochs per configuration: epoch 1 pays the one-time process
+    # costs (first-touch page faults of the output-pool buffers, cold
+    # reader caches) that a real workload (2,179 samples, 87+ batches)
+    # amortizes to nothing; epoch 2 is the steady state the eval/train
+    # loops actually see, so it is the headline `*_e2e` number.
     for label, dispatch, bs in (("batch_loader_e2e", "auto", 4),
                                 ("batch_loader_pool_mode", "pool", 4),
                                 ("batch_loader_e2e_b25", "auto", 25)):
         loader = BatchLoader(ours, batch_size=bs, num_workers=4,
                              dispatch=dispatch)
-        t0 = time.perf_counter()
-        seen = 0
-        for batch in loader:
-            seen += batch[0].shape[0]
-        results[label] = seen / (time.perf_counter() - t0)
+        for epoch_label in (label + "_firstepoch", label):
+            t0 = time.perf_counter()
+            seen = 0
+            for batch in loader:
+                seen += batch[0].shape[0]
+            results[epoch_label] = seen / (time.perf_counter() - t0)
+        if label == "batch_loader_pool_mode":
+            results.pop(label + "_firstepoch")   # delta row only
 
     out = {"metric": "assembly_samples_per_sec",
            **{k: round(v, 2) for k, v in results.items()}}
