@@ -222,6 +222,31 @@ def test_loader_shuffle_and_order(tree):
     assert n2 == len(ds)
 
 
+def test_loader_batch_shuffle_mode(tree):
+    """shuffle='batches': every index exactly once per epoch, batches are
+    consecutive index runs (the union-assembly fast path) except the one
+    wrap-around chunk, and the order re-randomizes across epochs."""
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirOnlyDataset(times, feats, masks, 3, 2, 4, 8, 3)
+    loader = BatchLoader(ds, batch_size=3, shuffle="batches", seed=1,
+                         num_workers=2)
+    epochs = []
+    for _ in range(2):
+        chunks = list(loader._batch_indices())
+        flat = np.concatenate(chunks)
+        assert sorted(flat.tolist()) == list(range(len(ds)))
+        non_consecutive = sum(
+            0 if np.all(np.diff(c) == 1) else 1 for c in chunks)
+        assert non_consecutive <= 1          # only the wrap-around chunk
+        epochs.append([c.tolist() for c in chunks])
+        loader._epoch += 1
+    assert epochs[0] != epochs[1]            # order changes across epochs
+    # end-to-end: batches carry real samples
+    n = sum(b[0].shape[0] for b in loader)
+    assert n == len(ds)
+
+
 def test_remaining_dataset_variants(tree):
     """Shapes/contracts of the in-memory and image/station dataset variants."""
     from vit_grid_model_tpu.data.datasets import (

@@ -122,7 +122,9 @@ class _OutputPool:
     just slower), so the pool is a pure fast path.
     """
 
-    def __init__(self, max_per_key: int = 3):
+    def __init__(self, max_per_key: int = 4):
+        # 4 = the loader's worst-case live set: prefetch queue (2) +
+        # consumer-held batch + the batch being written
         self._max = max_per_key
         self._lock = threading.Lock()
         self._bufs: Dict[tuple, list] = {}

@@ -25,9 +25,19 @@ class BatchLoader:
 
     Deterministic order (``shuffle=False`` like the eval loader) unless a
     seed is given; ``drop_last=False`` matches ``evaluation_vit.py:138``.
+
+    ``shuffle`` accepts ``"batches"`` besides True/False: the epoch is cut
+    into CONSECUTIVE-index batches (at a per-epoch random rotation) and the
+    batch ORDER is shuffled.  Consecutive batches keep the union-assembly
+    fast path (``get_batch_collated``: (B-1+T)/(B*T) of the file reads),
+    which sample-level shuffling forfeits — measured 136.7 vs 41.2
+    samples/s steady at the flagship geometry (docs/RESULTS.md).  The
+    trade is coarser SGD noise: samples co-occur with their window
+    neighbors (which overlap in all but one timestep anyway); batch order
+    and the cut points still re-randomize every epoch.
     """
 
-    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+    def __init__(self, dataset, batch_size: int, *, shuffle=False,
                  seed: int = 0, num_workers: int = 4,
                  prefetch_batches: int = 2, drop_last: bool = False,
                  collate: Optional[Callable] = None,
@@ -70,6 +80,22 @@ class BatchLoader:
 
     def _batch_indices(self):
         idx = np.arange(len(self.dataset))
+        if self.shuffle == "batches":
+            # rotate the epoch (re-randomizes the cut points), chunk into
+            # consecutive runs, shuffle the run order.  The wrap-around
+            # chunk is the one non-consecutive batch per epoch; it simply
+            # takes the per-sample assembly path.
+            rng = np.random.default_rng(self.seed + self._epoch)
+            idx = np.roll(idx, int(rng.integers(max(len(idx), 1))))
+            starts = np.arange(0, len(idx), self.batch_size)
+            rng.shuffle(starts)
+            for s in starts:
+                chunk = idx[s:s + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                if len(chunk):
+                    yield chunk
+            return
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
