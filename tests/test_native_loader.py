@@ -359,9 +359,9 @@ def test_batch_loader_uses_collated_fast_path(tree):
 def test_output_pool_reuse_and_no_aliasing():
     """The output pool hands back an idle buffer, but never one that any
     external holder (queued batch, view, staged transfer) still references."""
-    from vit_grid_model_tpu.data.native import _OutputPool
+    from vit_grid_model_tpu.data.bufferpool import BufferPool
 
-    pool = _OutputPool(max_per_key=2)
+    pool = BufferPool(max_per_key=2)
     a = pool.get((4, 8))
     assert pool.get((4, 8)) is not a          # `a` is held -> fresh buffer
     b = pool.get((4, 8))

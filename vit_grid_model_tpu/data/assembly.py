@@ -144,7 +144,13 @@ def sim_stack_to_model_input(simulation: np.ndarray, total_steps: int
     b, h, w, _ = simulation.shape
     x = simulation.reshape(b, h, w, total_steps, -1
                            ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
-    return np.ascontiguousarray(x)
+    # pooled contiguous copy (~385MB/flagship batch): np.ascontiguousarray
+    # into a fresh mmap pays the first-touch fault storm every batch
+    from vit_grid_model_tpu.data.bufferpool import POOL
+
+    out = POOL.get(x.shape, x.dtype)
+    np.copyto(out, x)
+    return out
 
 
 def host_stage_dtype(x: np.ndarray, compute_dtype: str) -> np.ndarray:
@@ -155,7 +161,11 @@ def host_stage_dtype(x: np.ndarray, compute_dtype: str) -> np.ndarray:
     if compute_dtype == "bfloat16":
         import jax.numpy as jnp
 
-        return x.astype(jnp.bfloat16)
+        from vit_grid_model_tpu.data.bufferpool import POOL
+
+        out = POOL.get(x.shape, jnp.bfloat16)
+        np.copyto(out, x, casting="same_kind")
+        return out
     return x
 
 

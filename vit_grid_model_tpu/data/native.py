@@ -16,7 +16,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sys
 import threading
 from datetime import datetime
 from typing import Dict, Optional, Sequence, Tuple
@@ -24,6 +23,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 from vit_grid_model_tpu.data.assembly import SPECIES, PM25_SPECIES_INDEX
+from vit_grid_model_tpu.data.bufferpool import POOL as _output_pool
 from vit_grid_model_tpu.data.timeutil import (cmaq_file_name, cycle_refs,
                                               kst_to_utc)
 
@@ -102,54 +102,6 @@ def reset_unsupported_count() -> None:
     lib = _load_library()
     if lib is not None:
         lib.vg_reset_unsupported_count()
-
-
-class _OutputPool:
-    """Reuse the large output arrays across assembly calls.
-
-    A fresh multi-hundred-MB ``np.empty`` is a new anonymous mmap whose
-    first-touch page faults serialize in the kernel: writing one flagship
-    B=25 batch into a fresh allocation costs ~4 s at 94% system time vs
-    ~0.22 s into an already-faulted buffer (docs/RESULTS.md, round 3).  In
-    the prefetching loader every batch used to pay that storm, because the
-    queued batches kept prior arrays alive and each call allocated anew.
-
-    ``get`` returns a pooled array only when the pool holds the ONLY
-    reference to it (refcount probe) — a batch still queued, staged, or
-    viewed downstream keeps its refcount elevated, so handing out an
-    aliased buffer is impossible by construction.  When every pooled
-    buffer is busy the call falls back to a fresh allocation (correct,
-    just slower), so the pool is a pure fast path.
-    """
-
-    def __init__(self, max_per_key: int = 4):
-        # 4 = the loader's worst-case live set: prefetch queue (2) +
-        # consumer-held batch + the batch being written
-        self._max = max_per_key
-        self._lock = threading.Lock()
-        self._bufs: Dict[tuple, list] = {}
-
-    def get(self, shape, dtype=np.float32) -> np.ndarray:
-        key = (tuple(int(s) for s in shape), np.dtype(dtype).str)
-        with self._lock:
-            bufs = self._bufs.setdefault(key, [])
-            for arr in bufs:
-                # refs while probing: the pool slot, the loop variable,
-                # and getrefcount's argument == 3; any external holder
-                # (queued batch, numpy view, in-flight device_put) adds
-                if sys.getrefcount(arr) == 3:
-                    return arr
-            arr = np.empty(key[0], dtype)
-            if len(bufs) < self._max:
-                bufs.append(arr)
-            return arr
-
-    def clear(self) -> None:
-        with self._lock:
-            self._bufs.clear()
-
-
-_output_pool = _OutputPool()
 
 
 def _c_paths(paths: Sequence[str]):
