@@ -429,12 +429,63 @@ int64_t vg_assemble_batch(const char** paths, int64_t n_union,
   return ok_count.load();
 }
 
+// Repack a batch's channels-last simulation stack into the model input
+// layout, slicing off the 4 per-step lead channels:
+//   src (B, H*W, T*(4S+4)) f32 contiguous ->
+//   dst (B, T, 4S, H*W) f32, or bf16 (uint16) when out_bf16 != 0.
+// The eval loop's reshape contract (evaluation_vit.py:248-249), done as
+// the same cache-blocked gather as vg_assemble_batch phase 2: a 512-row
+// source chunk (~1.4MB) stays L2-resident while every (t, c) output run
+// is written sequentially.  bf16 uses round-to-nearest-even with quiet
+// NaNs — bit-identical to numpy/ml_dtypes astype (tested).
+static inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  memcpy(&x, &f, 4);
+  // branchless (select, not branch) so the loop stays vectorizable
+  const uint16_t rounded = (uint16_t)((x + 0x7fffu + ((x >> 16) & 1u)) >> 16);
+  const uint16_t quiet_nan = (uint16_t)((x >> 16) | 0x0040u);
+  return ((x & 0x7fffffffu) > 0x7f800000u) ? quiet_nan : rounded;
+}
+
+void vg_repack_model_input(const float* src, int64_t n_samples, int64_t hw,
+                           int64_t t_steps, int64_t n_species, void* dst,
+                           int out_bf16, int n_threads) {
+  const int64_t bc = 4 * n_species + 4;           // source channels per step
+  const int64_t nc = 4 * n_species;               // kept channels per step
+  const int64_t row_ch = t_steps * bc;
+  const int64_t CHUNK = 512;
+  const int64_t chunks = (hw + CHUNK - 1) / CHUNK;
+  // task = (sample, row chunk) with ALL (t, c) planes inside: the chunk's
+  // source rows (~1.4MB) stay cache-resident across every step/channel,
+  // so each source line is fetched once, not once per step
+  run_parallel(n_samples * chunks, n_threads, [&](int64_t task) {
+    const int64_t b = task / chunks;
+    const int64_t i0 = (task % chunks) * CHUNK;
+    const int64_t i1 = std::min<int64_t>(i0 + CHUNK, hw);
+    const float* row0 = src + b * hw * row_ch;
+    for (int64_t t = 0; t < t_steps; ++t) {
+      const int64_t obase = ((b * t_steps + t) * nc) * hw;
+      for (int64_t c = 0; c < nc; ++c) {
+        const float* s = row0 + t * bc + c;
+        if (out_bf16) {
+          uint16_t* d = (uint16_t*)dst + obase + c * hw;
+          for (int64_t i = i0; i < i1; ++i)
+            d[i] = f32_to_bf16(s[i * row_ch]);
+        } else {
+          float* d = (float*)dst + obase + c * hw;
+          for (int64_t i = i0; i < i1; ++i) d[i] = s[i * row_ch];
+        }
+      }
+    }
+  });
+}
+
 // Count of loud load failures (files np.load would accept but this reader
 // zero-filled) since start / last reset — lets callers assert the data
 // plane saw nothing it silently mishandled.
 int64_t vg_unsupported_count() { return g_unsupported.load(); }
 void vg_reset_unsupported_count() { g_unsupported.store(0); }
 
-int vg_abi_version() { return 3; }
+int vg_abi_version() { return 4; }
 
 }  // extern "C"

@@ -377,3 +377,28 @@ def test_output_pool_reuse_and_no_aliasing():
     del view                                  # last holder gone -> reusable
     assert pool.get((4, 8)).ctypes.data == addr_b
     assert pool.get((2, 2)).shape == (2, 2)   # distinct key, distinct pool
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_repack_model_input_native_parity():
+    """Native repack == the numpy reshape/transpose/slice contract, for f32
+    and for the fused bf16 cast (round-to-nearest-even incl. specials)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    b, h, w, t, s = 3, 11, 7, 5, 6
+    bc = 4 * s + 4
+    sim = (rng.random((b, h, w, t * bc), np.float32) * 80) - 10
+    # rounding / special-value coverage for the bf16 path
+    sim.ravel()[:6] = [np.nan, np.inf, -np.inf, 0.0, -0.0, 3.4e38]
+    want = np.ascontiguousarray(
+        sim.reshape(b, h, w, t, bc).transpose(0, 3, 4, 1, 2)[:, :, :-4])
+    for dtype in (np.float32, jnp.bfloat16):
+        out = np.empty(want.shape, dtype)
+        assert native.repack_model_input_native(sim, t, out)
+        ref = want.astype(dtype)
+        np.testing.assert_array_equal(
+            out.view(np.uint16 if dtype != np.float32 else np.float32),
+            ref.view(np.uint16 if dtype != np.float32 else np.float32),
+            err_msg=str(dtype))

@@ -136,20 +136,30 @@ def read_reanalysis_window(times: Sequence[datetime], mod_idx: int, *,
     return np.asarray(curr, dtype=np.float32), out
 
 
-def sim_stack_to_model_input(simulation: np.ndarray, total_steps: int
-                             ) -> np.ndarray:
+def sim_stack_to_model_input(simulation: np.ndarray, total_steps: int,
+                             out_dtype=np.float32) -> np.ndarray:
     """The eval loop's reshape contract (``evaluation_vit.py:248-249``):
     (B, H, W, T*(4S+4)) channels-last stack -> (B, T, 4S, H, W) with the
-    4 lead-time channels sliced off."""
-    b, h, w, _ = simulation.shape
-    x = simulation.reshape(b, h, w, total_steps, -1
-                           ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
-    # pooled contiguous copy (~385MB/flagship batch): np.ascontiguousarray
-    # into a fresh mmap pays the first-touch fault storm every batch
+    4 lead-time channels sliced off.
+
+    ``out_dtype`` lets fast-mode staging fuse the host bf16 cast into the
+    repack (one pooled half-size write instead of repack + separate cast;
+    bf16 rounding identical to numpy astype either way).  The output
+    comes from the buffer pool — fresh mmaps pay a first-touch fault
+    storm every batch — and is filled by the native cache-blocked gather
+    when available (numpy fallback is byte-identical, tested)."""
     from vit_grid_model_tpu.data.bufferpool import POOL
 
-    out = POOL.get(x.shape, x.dtype)
-    np.copyto(out, x)
+    b, h, w, ch = simulation.shape
+    bc = ch // total_steps
+    out = POOL.get((b, total_steps, bc - 4, h, w), out_dtype)
+
+    from vit_grid_model_tpu.data import native
+
+    if not native.repack_model_input_native(simulation, total_steps, out):
+        x = simulation.reshape(b, h, w, total_steps, -1
+                               ).transpose(0, 3, 4, 1, 2)[:, :, :-4]
+        np.copyto(out, x, casting="same_kind")
     return out
 
 

@@ -41,7 +41,7 @@ _tried = False
 DEFAULT_THREADS = max(1, int(os.environ.get("VGM_NATIVE_THREADS", "4")))
 
 
-ABI_VERSION = 3
+ABI_VERSION = 4
 
 
 def _build() -> bool:
@@ -63,6 +63,7 @@ def _try_open() -> Optional[ctypes.CDLL]:
         lib.vg_assemble_batch.restype = ctypes.c_int64
         lib.vg_load_cycle_files.restype = ctypes.c_int64
         lib.vg_unsupported_count.restype = ctypes.c_int64
+        lib.vg_repack_model_input.restype = None
         return lib
     except Exception:
         return None
@@ -198,6 +199,38 @@ def assemble_batch_native(times_kst: Sequence[datetime], n_samples: int,
         pm25.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int(n_threads))
     return out, pm25
+
+
+def repack_model_input_native(simulation: np.ndarray, total_steps: int,
+                              out: np.ndarray,
+                              n_threads: int = DEFAULT_THREADS) -> bool:
+    """Native (B, H, W, T*(4S+4)) -> (B, T, 4S, H, W) repack straight into
+    ``out`` (f32 or bf16 — the bf16 path fuses the fast-mode host cast,
+    round-to-nearest-even identical to numpy astype).  Returns False when
+    the native library is unavailable or the layout doesn't apply (caller
+    falls back to the numpy path)."""
+    lib = _load_library()
+    if (lib is None or not simulation.flags.c_contiguous
+            or not out.flags.c_contiguous
+            or simulation.dtype != np.float32):
+        return False
+    b, h, w, ch = simulation.shape
+    if ch % total_steps != 0:
+        return False
+    bc = ch // total_steps
+    n_species = (bc - 4) // 4
+    if bc != 4 * n_species + 4:
+        return False
+    out_bf16 = out.dtype != np.float32
+    if out.itemsize != (2 if out_bf16 else 4):
+        return False
+    lib.vg_repack_model_input(
+        simulation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(b), ctypes.c_int64(h * w),
+        ctypes.c_int64(total_steps), ctypes.c_int64(n_species),
+        ctypes.c_void_p(out.ctypes.data), ctypes.c_int(int(out_bf16)),
+        ctypes.c_int(n_threads))
+    return True
 
 
 def load_cycle_files_native(paths: Sequence[str], n_species: int,

@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import (host_stage_dtype,
-                                              sim_stack_to_model_input)
+from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.readers import _read_netcdf_var
@@ -234,9 +233,11 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         host->HBM transfer with the forward."""
         simulation, _, _, _, raw_times, _ = batch
         B = simulation.shape[0]
-        sim_vit = host_stage_dtype(
-            sim_stack_to_model_input(simulation, data_cfg.total_steps),
-            model_cfg.compute_dtype)
+        sim_vit = sim_stack_to_model_input(
+            simulation, data_cfg.total_steps,
+            out_dtype=(jnp.bfloat16
+                       if model_cfg.compute_dtype == "bfloat16"
+                       else np.float32))
         pad_ragged = (batch_shd is not None
                       and model_cfg.pallas_shard_axis is not None)
         if pad_ragged and B % n_data != 0:

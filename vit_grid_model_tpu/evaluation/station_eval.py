@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import (host_stage_dtype,
-                                              sim_stack_to_model_input)
+from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetByStn
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.timeutil import eval_time_list
@@ -147,9 +146,11 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
         (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
          stn_cls) = batch
         B = sim.shape[0]
-        x = host_stage_dtype(
-            sim_stack_to_model_input(sim, data_cfg.total_steps),
-            model_cfg.compute_dtype)
+        x = sim_stack_to_model_input(
+            sim, data_cfg.total_steps,
+            out_dtype=(jnp.bfloat16
+                       if model_cfg.compute_dtype == "bfloat16"
+                       else np.float32))
         if (batch_shd is not None
                 and model_cfg.pallas_shard_axis is not None
                 and B % n_data != 0):
