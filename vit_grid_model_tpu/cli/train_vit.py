@@ -99,8 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
-                         shuffle_mode="samples"):
-    """Adapt v3 dataset samples into train-step batches, looping epochs."""
+                         shuffle_mode="samples", x_dtype=np.float32):
+    """Adapt v3 dataset samples into train-step batches, looping epochs.
+
+    ``x_dtype=bfloat16`` fuses the host-side compute-dtype cast into the
+    (native) model-input repack — the step casts on device anyway, so
+    half-size host buffers halve the dominant host->HBM transfer."""
     from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
     from vit_grid_model_tpu.data.pipeline import BatchLoader
 
@@ -111,7 +115,8 @@ def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
         for (feats, masks, sim, curr, reanalysis, cls, raw_times,
              prev) in loader:
             yield {
-                "x": sim_stack_to_model_input(sim, data_cfg.total_steps),
+                "x": sim_stack_to_model_input(sim, data_cfg.total_steps,
+                                              out_dtype=x_dtype),
                 "timestamps": raw_times,
                 "targets": reanalysis,
             }
@@ -228,29 +233,24 @@ def main(argv=None) -> None:
     # fresh data (exact index-level continuation would require assembling
     # and discarding `step` full batches — far costlier than the epoch-order
     # difference it would buy on an effectively-infinite shuffled stream).
-    batches = batches_from_dataset(dataset, data_cfg, args.batch_size,
-                                   args.num_workers,
-                                   args.seed + int(state.step),
-                                   shuffle_mode=args.shuffle_mode)
+    batches = batches_from_dataset(
+        dataset, data_cfg, args.batch_size, args.num_workers,
+        args.seed + int(state.step), shuffle_mode=args.shuffle_mode,
+        # bf16 training casts the CMAQ stack on device anyway
+        # (metnet3_apply); casting on host — fused into the native repack —
+        # halves the host->device bytes of the dominant batch member
+        x_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                 else np.float32))
     # overlap host->HBM transfer with the previous step's compute
     from vit_grid_model_tpu.data.pipeline import device_prefetch
-
-    def _stage(b):
-        if args.compute_dtype == "bfloat16":
-            # bf16 training casts the CMAQ stack on device anyway
-            # (metnet3_apply); casting on host instead halves the
-            # host->device bytes of the dominant batch member
-            b = {**b, "x": np.asarray(b["x"]).astype(jnp.bfloat16)}
-        return b
 
     if mesh is not None:
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
         batches = device_prefetch(
-            batches, lambda b: meshlib.shard_batch(mesh, _stage(b)))
+            batches, lambda b: meshlib.shard_batch(mesh, b))
     else:
-        batches = device_prefetch(
-            batches, lambda b: jax.device_put(_stage(b)))
+        batches = device_prefetch(batches, jax.device_put)
 
     import itertools
 

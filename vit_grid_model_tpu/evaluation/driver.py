@@ -224,6 +224,7 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
     metrics = EvaluationMetrics(data_cfg.output_dim)
     L = data_cfg.output_dim
     t0 = time.time()
+    _roll = [0, t0]      # [samples, timestamp] at the last progress line
 
     def _stage(batch):
         """Host->device staging for one batch: model input conversion,
@@ -300,9 +301,15 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
                 + sel[:, 2] * 100 + sel[:, 3])
         if progress and bi % 10 == 0:
             done = metrics.step_cnt * batch_size
-            rate = done / max(time.time() - t0, 1e-9)
-            print(f"eval batch {bi} ({done} samples, {rate:.1f} samples/s)",
-                  flush=True)
+            now = time.time()
+            rate = done / max(now - t0, 1e-9)
+            # rolling rate over the last window = the steady state, free of
+            # the first batch's compile+warmup (which dominates cumulative)
+            roll = ((done - _roll[0]) / max(now - _roll[1], 1e-9)
+                    if bi else 0.0)
+            _roll[:] = [done, now]
+            print(f"eval batch {bi} ({done} samples, {rate:.1f} samples/s "
+                  f"cum, {roll:.1f} last-10)", flush=True)
 
     with logwriter.open_log(model_name, log_dir) as f:
         logwriter.write_log(f, metrics, args_repr)
