@@ -12,6 +12,8 @@ import argparse
 import os
 from datetime import datetime
 
+import numpy as np
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="train MetNet3 (TPU)")

@@ -176,6 +176,7 @@ def train_loop(state: TrainState, batches: Iterable, step_fn: Callable, *,
                log: Callable[[str], None] = print):
     """Drive the jitted step over an iterable of host batches."""
     t0 = time.time()
+    roll = [0, t0]       # [step count, timestamp] at the last log line
     for i, batch in enumerate(batches):
         if max_steps is not None and i >= max_steps:
             break
@@ -184,8 +185,13 @@ def train_loop(state: TrainState, batches: Iterable, step_fn: Callable, *,
             # the readback waits on every prior step via data dependence,
             # so the logged steps/s stays honest without a per-step sync
             m = {k: float(v) for k, v in metrics.items()}
-            rate = (i + 1) / (time.time() - t0)
+            now = time.time()
+            rate = (i + 1) / (now - t0)
+            # rolling window = the steady state, free of compile+warmup
+            last = ((i + 1 - roll[0]) / max(now - roll[1], 1e-9)
+                    if i else 0.0)
+            roll[:] = [i + 1, now]
             log(f"step {int(state.step)}: loss={m['loss']:.4f} "
                 f"rmse={m['rmse']:.3f} gnorm={m['grad_norm']:.3f} "
-                f"({rate:.2f} steps/s)")
+                f"({rate:.2f} steps/s cum, {last:.2f} last-{log_every})")
     return state
