@@ -415,3 +415,59 @@ def test_batch_loader_dispatch_modes(tmp_path):
     assert not BatchLoader(ds, batch_size=4)._single_dispatch()
     with pytest.raises(ValueError, match="dispatch"):
         BatchLoader(ds, batch_size=4, dispatch="bogus")
+
+
+def test_sim_stack_numpy_fallback_matches_native(tree):
+    """sim_stack_to_model_input: the numpy fallback (native off / odd
+    layouts) is byte-identical to the native gather, f32 and bf16."""
+    import jax.numpy as jnp
+    from vit_grid_model_tpu.data import native
+    from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    sim = (rng.random((2, 9, 5, 3 * 28), np.float32) * 60) - 5
+    sim.ravel()[:3] = [np.nan, np.inf, 257.0]      # cast specials
+    for dtype in (np.float32, jnp.bfloat16):
+        a = np.array(sim_stack_to_model_input(sim, 3, out_dtype=dtype))
+        # Fortran-order input fails the native contiguity gate -> numpy path
+        b = np.array(sim_stack_to_model_input(
+            np.asfortranarray(sim).T.T, 3, out_dtype=dtype))
+        fortran_took_native = native.repack_model_input_native(
+            np.asfortranarray(sim), 3, np.empty_like(a))
+        assert not fortran_took_native
+        view = np.uint16 if dtype != np.float32 else np.float32
+        np.testing.assert_array_equal(a.view(view), b.view(view),
+                                      err_msg=str(dtype))
+
+
+def test_batch_shuffle_engages_collated_fast_path(tree):
+    """shuffle='batches' must actually hit get_batch_collated for every
+    non-wrap batch — the fast path is the mode's entire point."""
+    times = _times()
+    feats, masks = _feats(times)
+    from vit_grid_model_tpu.data.datasets import (
+        AirSimulationReanalysisDatasetOnly)
+
+    ds = AirSimulationReanalysisDatasetOnly(
+        times, feats, masks, input_dim=2, output_dim=2, prev_len=3,
+        korea_stn_num=4, china_stn_num=2, cmaq_size=(82, 67),
+        sim_data_path=tree["sim_data_path"],
+        reanalysis_data_path=tree["analysis_data_path"],
+        feat_infos=synthetic.DEFAULT_FEAT_INFOS)
+    calls = []
+    orig = ds.get_batch_collated
+
+    def spy(indices):
+        out = orig(indices)
+        calls.append(out is not None)
+        return out
+
+    ds.get_batch_collated = spy
+    n = sum(b[0].shape[0] for b in
+            BatchLoader(ds, batch_size=3, shuffle="batches", seed=2))
+    assert n == len(ds)
+    # every batch tried the fast path; at most wrap + ragged-tail missed
+    assert len(calls) == (len(ds) + 2) // 3
+    assert sum(calls) >= len(calls) - 2
