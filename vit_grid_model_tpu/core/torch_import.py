@@ -20,7 +20,7 @@ No torch import is required: any mapping of name -> numpy array works.  Use
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

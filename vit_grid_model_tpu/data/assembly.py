@@ -18,7 +18,7 @@ Reproduces the reference's per-sample tensor contract
 from __future__ import annotations
 
 from datetime import datetime, timedelta
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

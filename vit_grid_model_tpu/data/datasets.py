@@ -17,7 +17,7 @@ targets ``[mod_idx+1, mod_idx+output_dim]``;
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ working against the TPU rebuild.
 from __future__ import annotations
 
 import os
-from typing import Dict, TextIO
+from typing import TextIO
 
 import numpy as np
 

@@ -29,7 +29,7 @@ Semantics preserved exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

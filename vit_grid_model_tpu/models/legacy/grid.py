@@ -22,7 +22,7 @@ batched matmul pair on the MXU instead of the reference's per-step
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vit_grid_model_tpu.ops import nn as vnn
 from vit_grid_model_tpu.ops import window as W
 from vit_grid_model_tpu.ops.attention import attention, attention_init
 from vit_grid_model_tpu.ops.mbconv import mbconv, mbconv_init

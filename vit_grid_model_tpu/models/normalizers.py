@@ -24,14 +24,12 @@ Parity quirks preserved:
 
 from __future__ import annotations
 
-import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vit_grid_model_tpu.ops import nn as vnn
 
 Array = jax.Array
 

@@ -9,7 +9,7 @@ from the first encoder layer).  Strides alternate [1, 2, 1, 2, ...]
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Reference parity notes cite file:line into ``/root/reference/src``.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
