@@ -98,7 +98,46 @@ def measure_torch_cpu() -> float:
     return 12 / dt
 
 
+def _tunnel_preflight() -> None:
+    """Fail FAST with a diagnostic line when this rig's TPU relay is dead.
+
+    The axon backend retries an unreachable relay forever, so a bare
+    ``jax.devices()`` would hang the benchmark silently.  Scoped tightly
+    to this rig: only applies when ``/root/.tpu_init.py`` (the relay
+    script, whose first line lists its ports) exists and EVERY port
+    refuses connections.  Any other environment skips the check.
+    """
+    import re
+    import socket
+
+    relay = "/root/.tpu_init.py"
+    if not os.path.exists(relay):
+        return
+    with open(relay) as f:
+        m = re.match(r"PORTS\s*=\s*\[([0-9,\s]+)\]", f.readline())
+    if not m:
+        return
+    ports = [int(p) for p in m.group(1).split(",") if p.strip()]
+    for port in ports:
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", port))
+            return                      # relay alive -> proceed normally
+        except OSError:
+            continue
+        finally:
+            s.close()
+    print(json.dumps({
+        "metric": "grid_fields_per_sec_per_chip_12hr_maxvit_infer",
+        "error": "TPU relay unreachable (every tpu_init.py port refused); "
+                 "jax init would hang forever -- fix the tunnel and rerun",
+    }))
+    sys.exit(1)
+
+
 def main():
+    _tunnel_preflight()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)   # sweep optimum (RESULTS.md)
     ap.add_argument("--iters", type=int, default=8)
