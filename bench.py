@@ -98,46 +98,45 @@ def measure_torch_cpu() -> float:
     return 12 / dt
 
 
-def _tunnel_preflight() -> None:
-    """Fail FAST with a diagnostic line when this rig's TPU relay is dead.
+def relay_alive():
+    """None when this rig's relay script is absent (not this rig / not
+    applicable), else whether any relay port accepts a connection.
 
     The axon backend retries an unreachable relay forever, so a bare
-    ``jax.devices()`` would hang the benchmark silently.  Scoped tightly
-    to this rig: only applies when ``/root/.tpu_init.py`` (the relay
-    script, whose first line lists its ports) exists and EVERY port
-    refuses connections.  Any other environment skips the check.
-    """
+    ``jax.devices()`` hangs silently when the tunnel is dead — callers
+    must check BEFORE the first backend touch."""
     import re
     import socket
 
     relay = "/root/.tpu_init.py"
     if not os.path.exists(relay):
-        return
+        return None
     with open(relay) as f:
         m = re.match(r"PORTS\s*=\s*\[([0-9,\s]+)\]", f.readline())
     if not m:
-        return
-    ports = [int(p) for p in m.group(1).split(",") if p.strip()]
-    for port in ports:
+        return None
+    for port in (int(p) for p in m.group(1).split(",") if p.strip()):
         s = socket.socket()
         s.settimeout(3)
         try:
             s.connect(("127.0.0.1", port))
-            return                      # relay alive -> proceed normally
+            return True
         except OSError:
             continue
         finally:
             s.close()
-    print(json.dumps({
-        "metric": "grid_fields_per_sec_per_chip_12hr_maxvit_infer",
-        "error": "TPU relay unreachable (every tpu_init.py port refused); "
-                 "jax init would hang forever -- fix the tunnel and rerun",
-    }))
-    sys.exit(1)
+    return False
 
 
 def main():
-    _tunnel_preflight()
+    if relay_alive() is False:
+        print(json.dumps({
+            "metric": "grid_fields_per_sec_per_chip_12hr_maxvit_infer",
+            "error": "TPU relay unreachable (every tpu_init.py port "
+                     "refused); jax init would hang forever -- fix the "
+                     "tunnel and rerun",
+        }))
+        sys.exit(1)
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)   # sweep optimum (RESULTS.md)
     ap.add_argument("--iters", type=int, default=8)
