@@ -402,3 +402,38 @@ def test_repack_model_input_native_parity():
             out.view(np.uint16 if dtype != np.float32 else np.float32),
             ref.view(np.uint16 if dtype != np.float32 else np.float32),
             err_msg=str(dtype))
+
+
+def test_output_pool_concurrent_no_crosstalk():
+    """Hammer one pool from several threads: every thread stamps its
+    buffer with a unique pattern and must read it back intact — an
+    aliased hand-out (two holders, one buffer) would corrupt the stamp."""
+    import threading
+
+    from vit_grid_model_tpu.data.bufferpool import BufferPool
+
+    pool = BufferPool(max_per_key=3)
+    errors = []
+
+    def worker(tid):
+        rng = np.random.default_rng(tid)
+        try:
+            for it in range(200):
+                arr = pool.get((64, 64))
+                stamp = np.float32(tid * 1000 + it)
+                arr.fill(stamp)
+                if rng.random() < 0.3:
+                    _held = arr[3:]          # keep a view alive briefly
+                for _ in range(3):
+                    if not (arr == stamp).all():
+                        errors.append((tid, it))
+                        return
+        except Exception as e:      # surfaced after join
+            errors.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]
