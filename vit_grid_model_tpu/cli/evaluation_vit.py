@@ -183,6 +183,9 @@ def load_model_params(args, model_cfg):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     force_cpu_backend(args)
+    from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax
     import numpy as np

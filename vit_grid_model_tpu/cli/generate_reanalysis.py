@@ -26,6 +26,9 @@ def main(argv=None) -> None:
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--pallas", action="store_true", default=False)
     args = p.parse_args(argv)
+    from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax
 

@@ -37,6 +37,9 @@ def main(argv=None) -> None:
                                                        load_model_params)
 
     force_cpu_backend(args)
+    from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax
     import numpy as np

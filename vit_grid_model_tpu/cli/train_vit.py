@@ -126,6 +126,9 @@ def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import numpy as np
     import jax
