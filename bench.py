@@ -98,34 +98,7 @@ def measure_torch_cpu() -> float:
     return 12 / dt
 
 
-def relay_alive():
-    """None when this rig's relay script is absent (not this rig / not
-    applicable), else whether any relay port accepts a connection.
-
-    The axon backend retries an unreachable relay forever, so a bare
-    ``jax.devices()`` hangs silently when the tunnel is dead — callers
-    must check BEFORE the first backend touch."""
-    import re
-    import socket
-
-    relay = "/root/.tpu_init.py"
-    if not os.path.exists(relay):
-        return None
-    with open(relay) as f:
-        m = re.match(r"PORTS\s*=\s*\[([0-9,\s]+)\]", f.readline())
-    if not m:
-        return None
-    for port in (int(p) for p in m.group(1).split(",") if p.strip()):
-        s = socket.socket()
-        s.settimeout(3)
-        try:
-            s.connect(("127.0.0.1", port))
-            return True
-        except OSError:
-            continue
-        finally:
-            s.close()
-    return False
+from vit_grid_model_tpu.utils.relay import relay_alive  # noqa: E402
 
 
 def main():

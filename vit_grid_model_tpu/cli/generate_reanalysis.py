@@ -27,7 +27,9 @@ def main(argv=None) -> None:
     p.add_argument("--pallas", action="store_true", default=False)
     args = p.parse_args(argv)
     from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+    from vit_grid_model_tpu.utils.relay import require_backend_reachable
 
+    require_backend_reachable()
     enable_persistent_cache()
 
     import jax

@@ -38,7 +38,9 @@ def main(argv=None) -> None:
 
     force_cpu_backend(args)
     from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+    from vit_grid_model_tpu.utils.relay import require_backend_reachable
 
+    require_backend_reachable(force_cpu=args.gpus == "cpu")
     enable_persistent_cache()
 
     import jax

@@ -127,7 +127,9 @@ def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from vit_grid_model_tpu.core.jaxcache import enable_persistent_cache
+    from vit_grid_model_tpu.utils.relay import require_backend_reachable
 
+    require_backend_reachable()
     enable_persistent_cache()
 
     import numpy as np

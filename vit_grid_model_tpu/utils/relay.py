@@ -1,0 +1,54 @@
+"""Fast-fail probe for this rig's TPU relay tunnel.
+
+The axon backend retries an unreachable relay forever, so when the
+relay process has died a bare ``jax.devices()`` (and therefore any CLI
+that touches a backend) hangs silently.  ``relay_alive()`` answers in
+<=3 s per port; entry points check it BEFORE the first backend touch and
+raise a diagnostic instead of hanging.  Scoped tightly: on machines
+without the relay script it returns None and callers proceed normally.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+from typing import Optional
+
+RELAY_SCRIPT = "/root/.tpu_init.py"
+
+_DIAGNOSTIC = ("TPU relay unreachable (every port of its own script's "
+               "PORTS list refused a connection); jax backend init would "
+               "hang forever. Fix the tunnel and rerun, or force the CPU "
+               "backend (--gpus cpu / JAX_PLATFORMS=cpu before jax init).")
+
+
+def relay_alive() -> Optional[bool]:
+    """None when the relay script is absent (not this rig), else whether
+    any relay port accepts a TCP connection."""
+    if not os.path.exists(RELAY_SCRIPT):
+        return None
+    with open(RELAY_SCRIPT) as f:
+        m = re.match(r"PORTS\s*=\s*\[([0-9,\s]+)\]", f.readline())
+    if not m:
+        return None
+    for port in (int(p) for p in m.group(1).split(",") if p.strip()):
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
+def require_backend_reachable(force_cpu: bool = False) -> None:
+    """Raise fast (with the fix in the message) when the default backend
+    would be the dead relay.  No-op when CPU is forced or off this rig."""
+    if force_cpu or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    if relay_alive() is False:
+        raise RuntimeError(_DIAGNOSTIC)
