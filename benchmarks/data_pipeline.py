@@ -100,19 +100,24 @@ def main():
     # reader caches) that a real workload (2,179 samples, 87+ batches)
     # amortizes to nothing; epoch 2 is the steady state the eval/train
     # loops actually see, so it is the headline `*_e2e` number.
-    for label, dispatch, bs in (("batch_loader_e2e", "auto", 4),
-                                ("batch_loader_pool_mode", "pool", 4),
-                                ("batch_loader_e2e_b25", "auto", 25)):
+    for label, dispatch, bs, shuffle in (
+            ("batch_loader_e2e", "auto", 4, False),
+            ("batch_loader_pool_mode", "pool", 4, False),
+            ("batch_loader_e2e_b25", "auto", 25, False),
+            # training shuffles: sample-level forfeits union assembly,
+            # the chunk-shuffle mode keeps it (docs/RESULTS.md)
+            ("batch_loader_shuffle_samples", "auto", 4, True),
+            ("batch_loader_shuffle_batches", "auto", 4, "batches")):
         loader = BatchLoader(ours, batch_size=bs, num_workers=4,
-                             dispatch=dispatch)
+                             dispatch=dispatch, shuffle=shuffle, seed=1)
         for epoch_label in (label + "_firstepoch", label):
             t0 = time.perf_counter()
             seen = 0
             for batch in loader:
                 seen += batch[0].shape[0]
             results[epoch_label] = seen / (time.perf_counter() - t0)
-        if label == "batch_loader_pool_mode":
-            results.pop(label + "_firstepoch")   # delta row only
+        if label.startswith(("batch_loader_pool", "batch_loader_shuffle")):
+            results.pop(label + "_firstepoch")   # delta rows only
 
     out = {"metric": "assembly_samples_per_sec",
            **{k: round(v, 2) for k, v in results.items()}}
