@@ -77,6 +77,15 @@ class Forecaster:
     def predict(self, x, timestamps) -> np.ndarray:
         """x: (B, T, C, H, W) host array; timestamps: (B, T', 4).
         Returns (B, L, H, W) float32 PM2.5 fields."""
-        xd = jax.device_put(np.asarray(x).astype(self._dtype))
+        from vit_grid_model_tpu.data.bufferpool import POOL
+
+        x = np.asarray(x)
+        if x.dtype != self._dtype:
+            # pooled cast: a fresh per-request allocation pays first-touch
+            # page faults that dwarf the 7.7 ms chip forward at B=1
+            out = POOL.get(x.shape, self._dtype)
+            np.copyto(out, x, casting="same_kind")
+            x = out
+        xd = jax.device_put(x)
         td = jax.device_put(np.asarray(timestamps, np.float32))
         return np.asarray(self._fwd(self._params, xd, td))
