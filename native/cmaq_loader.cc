@@ -75,7 +75,11 @@ bool parse_shape(const std::string& header, std::vector<int64_t>* shape) {
   while (*p) {
     while (*p && (*p == ' ' || *p == ',')) ++p;
     if (!*p) break;
-    shape->push_back(strtoll(p, &p, 10));
+    char* q = p;
+    long long v = strtoll(p, &p, 10);
+    if (p == q) return false;  // non-numeric junk: malformed header (a
+                               // stuck pointer here would loop forever)
+    shape->push_back(v);
   }
   return true;
 }

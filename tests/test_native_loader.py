@@ -437,3 +437,34 @@ def test_output_pool_concurrent_no_crosstalk():
     for t in threads:
         t.join()
     assert not errors, errors[:5]
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable (no g++?)")
+def test_npy_header_fuzz_never_crashes(tmp_path):
+    """200 random corruptions of a valid .npy (byte flips, truncations,
+    header-length lies) must zero-fill or load — never crash the process
+    (a C++ parser fault would abort the interpreter)."""
+    rng = np.random.default_rng(11)
+    arr = rng.random((6, 82, 67)).astype(np.float32)
+    p0 = tmp_path / "good.npy"
+    np.save(p0, arr)
+    blob = bytearray(p0.read_bytes())
+    p = tmp_path / "fuzz.npy"
+    for it in range(200):
+        mutated = bytearray(blob)
+        kind = it % 4
+        if kind == 0:      # flip bytes in the first 256 (magic + header)
+            for _ in range(rng.integers(1, 6)):
+                mutated[rng.integers(0, min(256, len(mutated)))] = rng.integers(0, 256)
+        elif kind == 1:    # truncate anywhere
+            mutated = mutated[:rng.integers(0, len(mutated))]
+        elif kind == 2:    # lie about the header length
+            mutated[8:10] = int(rng.integers(0, 65536)).to_bytes(2, "little")
+        else:              # random garbage of random size
+            mutated = bytearray(rng.integers(0, 256, rng.integers(0, 400),
+                                             dtype=np.uint8).tobytes())
+        p.write_bytes(bytes(mutated))
+        out = native.load_cycle_files_native([str(p)], 6, (82, 67))
+        assert out is not None and out.shape == (1, 6, 82, 67)
+        assert np.isfinite(out).all() or (out == 0).all() or True  # no crash is the assertion
