@@ -360,8 +360,13 @@ class _LazyCmaqDataset(_WindowedDataset):
                     hist = self.prev_len - self.input_dim
                     sim = stack[:, :, hist * bc:]
                     prev_pm25 = pm25[:self.prev_len].mean(axis=1)
-                    return (np.ascontiguousarray(sim),
-                            np.ascontiguousarray(prev_pm25))
+                    # pooled contiguous copy (~15MB/sample): fresh mmaps
+                    # pay first-touch faults on every shuffled sample
+                    from vit_grid_model_tpu.data.bufferpool import POOL
+
+                    sim_c = POOL.get(sim.shape, sim.dtype)
+                    np.copyto(sim_c, sim)
+                    return sim_c, np.ascontiguousarray(prev_pm25)
             elif use_native:
                 raise RuntimeError("native data plane requested but "
                                    "libcmaq_loader.so unavailable")
