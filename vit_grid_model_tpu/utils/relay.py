@@ -45,9 +45,27 @@ def relay_alive() -> Optional[bool]:
     return False
 
 
+def apply_platform_env() -> None:
+    """Re-assert ``JAX_PLATFORMS`` through ``jax.config``.
+
+    On this rig the tunnel's sitecustomize registration overrides the
+    environment variable (CLAUDE.md gotcha): ``JAX_PLATFORMS=cpu`` alone
+    still initializes the axon plugin — which hangs forever when the
+    relay is dead.  ``jax.config.update`` is the layer that wins, so the
+    CLIs re-apply the env var there before any backend touch."""
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+
+
 def require_backend_reachable(force_cpu: bool = False) -> None:
     """Raise fast (with the fix in the message) when the default backend
-    would be the dead relay.  No-op when CPU is forced or off this rig."""
+    would be the dead relay.  No-op when CPU is forced or off this rig.
+    Also honors ``JAX_PLATFORMS=cpu`` — and makes it actually stick
+    (``apply_platform_env``)."""
+    apply_platform_env()
     if force_cpu or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return
     if relay_alive() is False:
