@@ -8,9 +8,12 @@ projection.
 Why fuse: the XLA path materializes the (windows, tokens, 3*heads*dim_head)
 qkv tensor in HBM (~1GB per attention call at eval batch sizes); keeping it
 in VMEM removes that round-trip, which on a v5e (~800GB/s HBM) costs more
-than the attention math itself.  The projections stay large MXU GEMMs
-((tile*tokens, dim) x (dim, 3*dim_inner)); the per-head score/aggregate
-matmuls run as head-batched dots over the window tile.
+than the attention math itself.  The projections are WEIGHT-SLICED per
+head: wqkv/wout ride in as (3, heads, dim, dim_head) / (heads, dim_head,
+dim) and each head runs small GEMMs indexed through untiled leading ref
+dims — zero Mosaic lane slices of GEMM outputs, the relayout cost that
+set the kernel's round-2 floor (1.62x over the big-GEMM + 96-lane-slice
+structure; benchmarks/mosaic_repros/README.md has the design matrix).
 
 Geometry (eval config): 53 tokens (49 window + 4 registers) padded to 56
 sublanes, dim 128, 32 heads x 32 dim_head.  Padded token rows are masked out
@@ -128,27 +131,27 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
         xn = (xn * gamma_ref[...].astype(jnp.float32)[:, None, :]
               + beta_ref[...].astype(jnp.float32)[:, None, :])
 
-    # qkv projection: one big GEMM (blk*n_pad, dim) @ (dim, 3*h*d), at the
-    # input precision (bf16 keeps the MXU at full rate; f32 accumulate)
-    qkv = jnp.dot(xn.astype(in_dtype).reshape(blk * n_pad, dim),
-                  wqkv_ref[...],
-                  preferred_element_type=jnp.float32)
+    # Per-head WEIGHT-sliced qkv projections: wqkv rides in as
+    # (3, heads, dim, dim_head) and each head runs a small
+    # (blk*n_pad, dim) @ (dim, dim_head) GEMM indexed through untiled
+    # leading ref dims — identical FLOPs to the single big GEMM, but ZERO
+    # Mosaic lane slices of the GEMM output.  The 96 lane slices of the
+    # former (blk*n_pad, 3*h*d) layout were the kernel's relayout floor:
+    # this restructuring measures 1.62x over it at eval geometry
+    # (benchmarks/mosaic_repros/repro_weightsliced_variants.py: 7.89 vs
+    # 12.76 ms/call incl. the out-projection).
+    xn_c = xn.astype(in_dtype).reshape(blk * n_pad, dim)
 
-    dim_inner = heads * dim_head
     scale = dim_head ** 0.5
-    # pass 1 (per head — the lane slicing is unavoidable on this Mosaic
-    # toolchain, see benchmarks/mosaic_repros/README.md): q/k/v slices,
-    # RMSNorm, score dot, bias
+    # pass 1 (per head): qkv GEMMs, RMSNorm, score dot, bias
     sims, vs = [], []
     for h in range(heads):
-        # static lane slices per head; 3-D reshape splits sublanes only
-        q = qkv[:, h * dim_head:(h + 1) * dim_head
-                ].reshape(blk, n_pad, dim_head)
-        k = qkv[:, dim_inner + h * dim_head:
-                dim_inner + (h + 1) * dim_head].reshape(blk, n_pad, dim_head)
-        v = qkv[:, 2 * dim_inner + h * dim_head:
-                2 * dim_inner + (h + 1) * dim_head
-                ].reshape(blk, n_pad, dim_head)
+        q = jnp.dot(xn_c, wqkv_ref[0, h], preferred_element_type=jnp.float32
+                    ).reshape(blk, n_pad, dim_head)
+        k = jnp.dot(xn_c, wqkv_ref[1, h], preferred_element_type=jnp.float32
+                    ).reshape(blk, n_pad, dim_head)
+        v = jnp.dot(xn_c, wqkv_ref[2, h], preferred_element_type=jnp.float32
+                    ).reshape(blk, n_pad, dim_head)
         # QK-RMSNorm: l2-normalize * sqrt(d) * gamma_h
         qn = q * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(q * q, -1, keepdims=True), rms_eps ** 2))
@@ -168,7 +171,11 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
     # flagship bench vs the single fused loop (1901 vs 1859 fields/s,
     # controlled A/B).  A fully stacked all-heads softmax is NEUTRAL on
     # top of this split — see benchmarks/mosaic_repros/README.md.
-    head_outs = []
+    # The output projection is also weight-sliced: wout rides in as
+    # (heads, dim_head, dim) and each head's (blk*n_pad, d) @ (d, dim)
+    # partial product accumulates in f32 — no 32-way lane concat of the
+    # head outputs (the other relayout the old layout paid).
+    y = jnp.zeros((blk * n_pad, dim), jnp.float32)
     for h in range(heads):
         sim = sims[h]
         m = jnp.max(sim, axis=-1, keepdims=True)
@@ -188,11 +195,9 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
         o_h = jax.lax.dot_general(
             attn, vs[h], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (blk, n_pad, d)
-        head_outs.append(o_h)
-
-    out = jnp.concatenate(head_outs, axis=-1)     # (blk, n_pad, h*d)
-    y = jnp.dot(out.astype(in_dtype).reshape(blk * n_pad, heads * dim_head),
-                wout_ref[...], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(
+            o_h.astype(in_dtype).reshape(blk * n_pad, dim_head),
+            wout_ref[h], preferred_element_type=jnp.float32)
     o_ref[...] = y.reshape(blk, n_pad, dim).astype(o_ref.dtype)
 
 
@@ -300,12 +305,20 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # wout
         pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
     ]
+    # weight layouts for the weight-sliced kernel: the head split lives in
+    # the WEIGHTS ((3, heads, dim, dim_head) / (heads, dim_head, dim)) and
+    # the kernel indexes them through untiled leading ref dims — no lane
+    # slicing of GEMM outputs (see _attention_kernel)
+    wqkv4 = (p["to_qkv"]["w"].astype(x.dtype)
+             .reshape(dim, 3, heads, dim_head).transpose(1, 2, 0, 3))
+    wout3 = (p["to_out"]["w"].astype(x.dtype)
+             .reshape(heads, dim_head, dim))
     operands = [
         x_pad, gamma.astype(x.dtype), beta.astype(x.dtype),
-        p["to_qkv"]["w"].astype(x.dtype),
+        wqkv4,
         p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
         p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32),
-        p["to_out"]["w"].astype(x.dtype),
+        wout3,
         bias,
     ]
     kwargs = {}
