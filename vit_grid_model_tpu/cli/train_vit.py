@@ -70,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="throughput mode for training: bf16 + fused lead "
                         "stem + fused Pallas attention forward AND backward "
                         "with in-kernel dropout (measured-best train config: "
-                        "91.1 ms/step vs 147.0 pure-XLA at flagship B=4; "
+                        "77.9 ms/step vs 143.8 pure-XLA at flagship B=4; "
                         "see docs/RESULTS.md)")
     p.add_argument("--shuffle_mode", choices=("samples", "batches"),
                    default="samples",

@@ -399,7 +399,7 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
     x = x_ref[...].astype(jnp.float32)                 # (blk, n_pad, dim)
     dim = x.shape[-1]
 
-    # ---- recompute forward up to qkv ----
+    # ---- recompute forward up to the normalized input ----
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     r_ln = jax.lax.rsqrt(var + ln_eps)
@@ -410,28 +410,26 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
     else:
         xf = xn0
     xf_c = xf.astype(in_dtype).reshape(blk * n_pad, dim)
-    qkv = jnp.dot(xf_c, wqkv_ref[...],
-                  preferred_element_type=jnp.float32)  # (blk*n_pad, 3*h*d)
 
-    dim_inner = heads * dim_head
     scale = dim_head ** 0.5
     dy = dy_ref[...].astype(jnp.float32)
     dy2 = dy.reshape(blk * n_pad, dim).astype(in_dtype)
-    # dout = dy @ wout^T  (contract the model dim)
-    dout = jax.lax.dot_general(
-        dy2, wout_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (blk*n_pad, h*d)
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    dqg_parts, dkg_parts, dbias_parts, dwout_parts = [], [], [], []
+    # Weight-sliced per-head structure, mirroring the forward kernel:
+    # wqkv rides in as (3, heads, dim, dim_head), wout as (heads,
+    # dim_head, dim), and every per-head tensor (q/k/v, dout, the weight
+    # grads) is produced by a small GEMM or an indexed ref store instead
+    # of a Mosaic lane slice / 32-way concat — the same restructuring
+    # that bought the forward 1.62x (benchmarks/mosaic_repros/README.md).
+    dxf2 = jnp.zeros((blk * n_pad, dim), jnp.float32)
+    dqg_parts, dkg_parts, dbias_parts = [], [], []
     for h in range(heads):
-        q = qkv[:, h * dim_head:(h + 1) * dim_head
-                ].reshape(blk, n_pad, dim_head)
-        k = qkv[:, dim_inner + h * dim_head:
-                dim_inner + (h + 1) * dim_head].reshape(blk, n_pad, dim_head)
-        v = qkv[:, 2 * dim_inner + h * dim_head:
-                2 * dim_inner + (h + 1) * dim_head
-                ].reshape(blk, n_pad, dim_head)
+        q = jnp.dot(xf_c, wqkv_ref[0, h], preferred_element_type=jnp.float32
+                    ).reshape(blk, n_pad, dim_head)
+        k = jnp.dot(xf_c, wqkv_ref[1, h], preferred_element_type=jnp.float32
+                    ).reshape(blk, n_pad, dim_head)
+        v = jnp.dot(xf_c, wqkv_ref[2, h], preferred_element_type=jnp.float32
+                    ).reshape(blk, n_pad, dim_head)
         qq = jnp.maximum(jnp.sum(q * q, -1, keepdims=True), rms_eps ** 2)
         kk = jnp.maximum(jnp.sum(k * k, -1, keepdims=True), rms_eps ** 2)
         r_q, r_k = jax.lax.rsqrt(qq), jax.lax.rsqrt(kk)
@@ -453,16 +451,19 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
             mask_h = None
         pm = p * mask_h if mask_h is not None else p
 
-        do_h = dout[:, h * dim_head:(h + 1) * dim_head
-                    ].reshape(blk, n_pad, dim_head)
+        # dout_h = dy @ wout_h^T  (contract the model dim per head)
+        do_h = jax.lax.dot_general(
+            dy2, wout_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+            ).reshape(blk, n_pad, dim_head)
         # o_h = pm @ v feeds the out-projection weight grad
         o_h = jax.lax.dot_general(
             pm, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dwout_parts.append(jax.lax.dot_general(
+        dwout_ref[h] += jax.lax.dot_general(
             o_h.reshape(blk * n_pad, dim_head).astype(in_dtype), dy2,
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))      # (d, dim)
+            preferred_element_type=jnp.float32)       # (d, dim)
 
         dv = jax.lax.dot_general(
             pm, do_h, (((1,), (1,)), ((0,), (0,))),
@@ -491,24 +492,35 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
                            jnp.sum(dUq * u_q, -1, keepdims=True), 0.0)
         proj_k = jnp.where(kk > rms_eps ** 2,
                            jnp.sum(dUk * u_k, -1, keepdims=True), 0.0)
-        dq_parts.append(r_q * (dUq - u_q * proj_q))
-        dk_parts.append(r_k * (dUk - u_k * proj_k))
-        dv_parts.append(dv)
+        dq_h = (r_q * (dUq - u_q * proj_q)
+                ).reshape(blk * n_pad, dim_head).astype(in_dtype)
+        dk_h = (r_k * (dUk - u_k * proj_k)
+                ).reshape(blk * n_pad, dim_head).astype(in_dtype)
+        dv_h = dv.reshape(blk * n_pad, dim_head).astype(in_dtype)
+        # per-head weight grads + input-grad accumulation (no dqkv concat)
+        dwqkv_ref[0, h] += jax.lax.dot_general(
+            xf_c, dq_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (dim, d)
+        dwqkv_ref[1, h] += jax.lax.dot_general(
+            xf_c, dk_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwqkv_ref[2, h] += jax.lax.dot_general(
+            xf_c, dv_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxf2 = dxf2 + jax.lax.dot_general(
+            dq_h, wqkv_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxf2 = dxf2 + jax.lax.dot_general(
+            dk_h, wqkv_ref[1, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxf2 = dxf2 + jax.lax.dot_general(
+            dv_h, wqkv_ref[2, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    dwout_ref[...] += jnp.concatenate(dwout_parts, axis=0)
     dqg_ref[...] += jnp.concatenate(dqg_parts, axis=0)
     dkg_ref[...] += jnp.concatenate(dkg_parts, axis=0)
     dbias_ref[...] += jnp.concatenate(dbias_parts, axis=0)
-
-    dqkv = jnp.concatenate(
-        dq_parts + dk_parts + dv_parts, axis=-1)      # (blk, n_pad, 3*h*d)
-    dqkv2 = dqkv.reshape(blk * n_pad, 3 * dim_inner).astype(in_dtype)
-    dwqkv_ref[...] += jax.lax.dot_general(
-        xf_c, dqkv2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (dim, 3*h*d)
-    dxf = jax.lax.dot_general(
-        dqkv2, wqkv_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(blk, n_pad, dim)
+    dxf = dxf2.reshape(blk, n_pad, dim)
 
     if has_film:
         dgamma_ref[...] = jnp.sum(dxf * xn0, axis=1).astype(dgamma_ref.dtype)
@@ -568,12 +580,17 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
         blk_spec(blk, n_pad, dim),               # dy
     ]
+    # same weight-sliced layouts as the forward kernel
+    wqkv4 = (p["to_qkv"]["w"].astype(x.dtype)
+             .reshape(dim, 3, heads, dim_head).transpose(1, 2, 0, 3))
+    wout3 = (p["to_out"]["w"].astype(x.dtype)
+             .reshape(heads, dim_head, dim))
     operands = [
         x_pad, gamma.astype(x.dtype), beta.astype(x.dtype),
-        p["to_qkv"]["w"].astype(x.dtype),
+        wqkv4,
         p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
         p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32),
-        p["to_out"]["w"].astype(x.dtype),
+        wout3,
         bias,
         g_pad,
     ]
@@ -590,8 +607,9 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
         jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype),          # dx
         jax.ShapeDtypeStruct((bw, dim), jnp.float32),             # dgamma_w
         jax.ShapeDtypeStruct((bw, dim), jnp.float32),             # dbeta_w
-        jax.ShapeDtypeStruct((dim, 3 * dim_inner), jnp.float32),  # dwqkv
-        jax.ShapeDtypeStruct((dim_inner, dim), jnp.float32),      # dwout
+        jax.ShapeDtypeStruct((3, heads, dim, dim_head),
+                             jnp.float32),                        # dwqkv
+        jax.ShapeDtypeStruct((heads, dim_head, dim), jnp.float32),  # dwout
         jax.ShapeDtypeStruct((heads, dim_head), jnp.float32),     # dqg
         jax.ShapeDtypeStruct((heads, dim_head), jnp.float32),     # dkg
         jax.ShapeDtypeStruct((heads, n_pad, n_pad), jnp.float32),  # dbias
@@ -600,8 +618,8 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
         blk_spec(blk, n_pad, dim),
         blk_spec(blk, dim),
         blk_spec(blk, dim),
-        const_spec(dim, 3 * dim_inner),
-        const_spec(dim_inner, dim),
+        const_spec(3, heads, dim, dim_head),
+        const_spec(heads, dim_head, dim),
         const_spec(heads, dim_head),
         const_spec(heads, dim_head),
         const_spec(heads, n_pad, n_pad),
@@ -620,6 +638,9 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     )(*operands)
 
     dx = dx_p[:, :n, :]
+    # weight grads back to the parameter layouts
+    dwqkv = dwqkv.transpose(2, 0, 1, 3).reshape(dim, 3 * dim_inner)
+    dwout = dwout.reshape(dim_inner, dim)
 
     # rel-pos bias table grad: scatter-add of the (n, n, h) cotangent
     table = p["rel_pos_bias"]["table"]
