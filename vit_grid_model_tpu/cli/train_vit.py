@@ -56,12 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "externally-sampled mask). Combine with "
                         "--use_pallas_attention_bwd: forward-only, the "
                         "XLA-recompute VJP makes it a net LOSS for training "
-                        "(204.5 vs 143.9 ms/step XLA, flagship B=4 bf16)")
+                        "(203.7 vs 143.8 ms/step XLA, flagship B=4 bf16; "
+                        "see docs/RESULTS.md)")
     p.add_argument("--use_pallas_attention_bwd", action="store_true",
                    help="with --use_pallas_attention: fused Pallas BACKWARD "
                         "kernel (flash-style in-VMEM recompute) instead of "
-                        "the XLA-recompute VJP — measured 113.6 ms/step vs "
-                        "143.9 pure-XLA at flagship config (1.27x)")
+                        "the XLA-recompute VJP — measured 84.7 ms/step vs "
+                        "143.8 pure-XLA at flagship config (1.70x)")
     p.add_argument("--fuse_lead_stem", action="store_true",
                    help="compute the lead-independent part of the stem conv "
                         "once per sample (exact up to float re-association; "
