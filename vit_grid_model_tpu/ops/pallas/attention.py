@@ -24,8 +24,10 @@ Training has two kernel-side extras:
 * a fused BACKWARD kernel (``_attention_bwd_kernel``): flash-style in-VMEM
   recompute of the forward internals plus every gradient contraction in the
   same program, with weight/bias grads accumulated across the sequential TPU
-  grid — measured 1.27x over the pure-XLA train step at flagship config
-  (the XLA-recompute VJP of the forward-only kernel is a net LOSS there);
+  grid — measured 1.70x over the pure-XLA train step at flagship config
+  (84.7 vs 143.8 ms with the weight-sliced layout; the XLA-recompute VJP of
+  the forward-only kernel is a net LOSS there — current numbers live in
+  docs/RESULTS.md "Train-step MFU");
 * in-kernel attention dropout via a stateless counter-based hash PRNG
   (lowbias32-style integer mix of the global (window, head, row, col)
   index with a scalar seed, all VPU ops): the forward and backward kernels
@@ -250,8 +252,9 @@ def window_attention_pallas(p, x: Array, cond: Optional[Array],
     x: (Bw, n, dim) sample-major windows; cond (B_cond, cond_dim) or None;
     dropout_mask: optional pre-scaled keep mask (Bw, heads, n, n) sampled
     OUTSIDE the kernel so the XLA-recompute backward applies the identical
-    mask (training with attention dropout — measured 2.2x over the masked
-    XLA path at eval geometry).
+    mask (training with attention dropout; for current measured speedups of
+    every kernel configuration see docs/RESULTS.md — prefer the fused
+    backward for training, this external-mask path is the fallback).
 
     Differentiable: the backward pass is the VJP of the (numerically
     equivalent) XLA implementation, recomputed from the saved inputs — the
@@ -308,7 +311,12 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
     # weight layouts for the weight-sliced kernel: the head split lives in
     # the WEIGHTS ((3, heads, dim, dim_head) / (heads, dim_head, dim)) and
     # the kernel indexes them through untiled leading ref dims — no lane
-    # slicing of GEMM outputs (see _attention_kernel)
+    # slicing of GEMM outputs (see _attention_kernel).  The relayout is
+    # traced per call rather than cached in the param tree: ~1.5MB of HBM
+    # traffic (dim x 3*heads*dim_head bf16) against the call's ~100MB of
+    # activation traffic, i.e. bounded at well under 1% — kept inline so
+    # the torch converters, checkpoints and the XLA path all share the
+    # canonical (dim, 3*inner) parameter layout.
     wqkv4 = (p["to_qkv"]["w"].astype(x.dtype)
              .reshape(dim, 3, heads, dim_head).transpose(1, 2, 0, 3))
     wout3 = (p["to_out"]["w"].astype(x.dtype)
