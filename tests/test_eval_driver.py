@@ -104,6 +104,50 @@ def test_evaluate_data_parallel_matches_single(tmp_path):
                                    rtol=1e-6)
 
 
+def test_evaluate_pallas_mesh_ragged_bit_exact(tmp_path):
+    """Round-3 verdict item 4: fast-mode (shard_mapped Pallas) mesh eval
+    must equal single-device on a non-divisible sample count.  Previously
+    the ragged final batch was padded with its own last sample, which
+    perturbed REAL predictions through the batch-mixing time-embedding
+    quirk (#11); now it runs unsharded at its true size
+    (``parallel.mesh.UnshardedTail``)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.core.config import MeshConfig
+    from vit_grid_model_tpu.parallel import mesh as meshlib
+
+    # 10 hourly times -> 6 samples: one full batch of 4 (sharded over the
+    # 4-device mesh) + a ragged batch of 2 (the tail path under test)
+    data_cfg, model_cfg, end = _small_setup(tmp_path, hours=9)
+    model_cfg = dataclasses.replace(model_cfg, use_pallas_attention=True)
+    params = metnet3_init(jax.random.PRNGKey(1), model_cfg)
+    kw = dict(test_start=datetime(2023, 5, 1, 0), test_end=end,
+              batch_size=4, log_dir=str(tmp_path / "logs"), progress=False)
+
+    with pltpu.force_tpu_interpret_mode():
+        single = driver.evaluate(params, model_cfg, data_cfg,
+                                 model_name="rg_single", **kw)
+
+    mesh = meshlib.make_mesh(MeshConfig(data=4, model=1),
+                             devices=jax.devices()[:4])
+    cfg_sh = dataclasses.replace(model_cfg, pallas_shard_axis="data")
+    with jax.set_mesh(mesh):
+        with pltpu.force_tpu_interpret_mode():
+            sharded = driver.evaluate(params, cfg_sh, data_cfg,
+                                      model_name="rg_sharded", mesh=mesh,
+                                      **kw)
+
+    s1, s2 = single.summary(), sharded.summary()
+    for name in ("model", "persist", "sim_21h", "sim_avg"):
+        for metric in s1[name]:
+            np.testing.assert_allclose(s1[name][metric], s2[name][metric],
+                                       rtol=1e-6, err_msg=f"{name}/{metric}")
+    np.testing.assert_array_equal(single.stats["model"].confusion,
+                                  sharded.stats["model"].confusion)
+
+
 def test_evaluate_collects_valid_times_quirk19(tmp_path):
     """Quirk #19 (``evaluation_vit.py:285-289``): encoded YYYYMMDDHH of
     samples whose last input hour is 06, flag-gated."""

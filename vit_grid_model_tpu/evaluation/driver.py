@@ -175,8 +175,10 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
     computes the *global* program, so (unlike torch DataParallel, whose
     per-GPU chunks change the batch-mixing time-embedding quirk
     ``metnet3.py:395-401``) results are bit-identical to the single-device
-    run.  A trailing batch not divisible by the data axis falls back to the
-    unsharded compile of the same function — numerics unchanged either way.
+    run.  A trailing batch not divisible by the data axis falls back to an
+    unsharded compile at its true size — on the plain-XLA path the same
+    function, on the shard_mapped-Pallas path a single-device submesh
+    (``parallel.mesh.UnshardedTail``) — numerics unchanged either way.
 
     ``collect_valid_times``: reference quirk #19 — collect encoded sample
     times whose last input hour == 6 (``evaluation_vit.py:285-289``) into
@@ -212,12 +214,26 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
     fwd = jax.jit(forward)
     n_data = 1
     batch_shd = None
+    tail_fwd = None
     if mesh is not None:
         from vit_grid_model_tpu.parallel import mesh as meshlib
 
         n_data = mesh.shape["data"]
         batch_shd = meshlib.batch_sharding(mesh)
         params = jax.device_put(params, meshlib.replicated(mesh))
+        if model_cfg.pallas_shard_axis is not None:
+            # ragged final batch (drop_last=False, ``evaluation_vit.py:138``)
+            # on the shard_mapped-Pallas path: run it at its TRUE size on
+            # one device — bit-identical to single-device eval — instead of
+            # padding it (padding would perturb real predictions through
+            # the batch-mixing time-embedding quirk #11)
+            cfg_tail = dataclasses.replace(model_cfg, pallas_shard_axis=None)
+
+            def forward_tail(p, x, ts):
+                with jax.default_matmul_precision(matmul_precision):
+                    return metnet3_apply(p, x, ts, cfg_tail)
+
+            tail_fwd = meshlib.UnshardedTail(mesh, params, forward_tail)
     elif sharding is not None:
         params = jax.device_put(params, sharding)
 
@@ -227,11 +243,17 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
     _roll = [0, t0]      # [samples, timestamp] at the last progress line
 
     def _stage(batch):
-        """Host->device staging for one batch: model input conversion,
-        (opt-in) ragged padding for the shard_mapped-Pallas mesh path,
+        """Host->device staging for one batch: model input conversion and
         device placement.  ``jax.device_put`` is asynchronous, so calling
         this for batch k+1 right after dispatching fwd(k) overlaps the
-        host->HBM transfer with the forward."""
+        host->HBM transfer with the forward.
+
+        A ragged final batch (B not divisible over the mesh's data axis,
+        drop_last=False like the reference) always runs unsharded at its
+        TRUE size: through the main ``fwd`` on the plain-XLA mesh path, or
+        through the single-device ``tail_fwd`` on the shard_mapped-Pallas
+        path — either way bit-identical to the single-device run (no
+        padded sample ever perturbs real predictions via quirk #11)."""
         simulation, _, _, _, raw_times, _ = batch
         B = simulation.shape[0]
         sim_vit = sim_stack_to_model_input(
@@ -239,30 +261,17 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
             out_dtype=(jnp.bfloat16
                        if model_cfg.compute_dtype == "bfloat16"
                        else np.float32))
-        pad_ragged = (batch_shd is not None
-                      and model_cfg.pallas_shard_axis is not None)
-        if pad_ragged and B % n_data != 0:
-            # the shard_mapped Pallas kernels need the window axis to
-            # divide the mesh, so the ragged final batch (drop_last=False
-            # like the reference) is padded with its last sample and the
-            # predictions sliced back.  Padding perturbs the real samples
-            # through the reference's batch-mixing time-embedding quirk
-            # (#11) — acceptable only here because the Pallas+mesh path is
-            # an opt-in throughput mode; the parity path below keeps the
-            # exact legacy behavior (ragged batch runs unsharded at its
-            # true size).
-            from vit_grid_model_tpu.parallel import mesh as meshlib
-
-            (sim_p, ts_p), _ = meshlib.pad_to_multiple(
-                (sim_vit, np.asarray(raw_times)), n_data)
-            x = jax.device_put(jnp.asarray(sim_p), batch_shd)
-            ts = jax.device_put(jnp.asarray(ts_p), batch_shd)
+        ragged = B % n_data != 0
+        use_tail = tail_fwd is not None and ragged
+        if use_tail:
+            # host arrays; UnshardedTail transfers under its 1-dev submesh
+            x, ts = sim_vit, np.asarray(raw_times)
         else:
             x, ts = jnp.asarray(sim_vit), jnp.asarray(raw_times)
-            if batch_shd is not None and B % n_data == 0:
+            if batch_shd is not None and not ragged:
                 x = jax.device_put(x, batch_shd)
                 ts = jax.device_put(ts, batch_shd)
-        return batch, B, x, ts
+        return batch, B, x, ts, use_tail
 
     import itertools
 
@@ -274,8 +283,9 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
     while staged is not None:
         bi += 1
         ((simulation, curr_re, reanalysis, re_cls, raw_times, prev_vals),
-         B, x, ts) = staged
-        preds_dev = fwd(params, x, ts)           # async dispatch
+         B, x, ts, use_tail) = staged
+        preds_dev = (tail_fwd(x, ts) if use_tail
+                     else fwd(params, x, ts))    # async dispatch
         nxt = next(it, None)                     # overlap: stage k+1 now
         staged = _stage(nxt) if nxt is not None else None
         preds = np.asarray(preds_dev)[:B].reshape(B, L, cells)

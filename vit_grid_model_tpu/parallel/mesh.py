@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vit_grid_model_tpu.core.config import MeshConfig
@@ -129,6 +130,47 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host numpy batch into the device layout, batch-axis sharded."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+class UnshardedTail:
+    """Single-device fallback forward for ragged final eval batches.
+
+    The shard_mapped Pallas kernels require the window axis to divide the
+    mesh's 'data' axis, so a final batch whose size does not divide it
+    cannot run sharded — and padding it with a repeated sample perturbs the
+    REAL predictions through the reference's batch-mixing time-embedding
+    quirk (#11, ``metnet3.py:395-401``).  This helper instead runs the
+    ragged tail at its TRUE size on one device, bit-identical to the
+    single-device run (``drop_last=False`` semantics of the reference,
+    ``evaluation_vit.py:138``).  A 1-device submesh is made ambient for the
+    call so the plain ``pallas_call`` (which GSPMD cannot partition)
+    compiles single-device even when the caller installed the full mesh via
+    ``jax.set_mesh``.
+
+    Lazily compiled: most workloads never hit a ragged batch (it is at most
+    the last one), so the extra compile + single-device param copy are only
+    paid when needed.
+    """
+
+    def __init__(self, mesh: Mesh, params, forward):
+        self._mesh = mesh
+        self._params_src = params
+        self._forward = forward       # f(params, x, ts), pallas unsharded
+        self._state = None
+
+    def __call__(self, x, ts):
+        if self._state is None:
+            dev = self._mesh.devices.flat[0]
+            shape = (1,) * len(self._mesh.axis_names)
+            sub = Mesh(np.asarray([dev]).reshape(shape),
+                       self._mesh.axis_names)
+            with jax.set_mesh(sub):
+                p = jax.device_put(self._params_src,
+                                   NamedSharding(sub, P()))
+            self._state = (sub, jax.jit(self._forward), p)
+        sub, fn, p = self._state
+        with jax.set_mesh(sub):
+            return fn(p, jnp.asarray(x), jnp.asarray(ts))
 
 
 def pad_to_multiple(batch, multiple: int):
