@@ -97,6 +97,13 @@ class MetNet3Config:
     # along the embarrassingly-parallel window axis).  Requires the mesh to
     # be ambient (jax.set_mesh) and the batch divisible by the axis size.
     pallas_shard_axis: Optional[str] = None
+    # Inference only: fold MBConv's three BatchNorms into the adjacent conv
+    # weights (``ops/nn.py::fold_bn_into_conv``) — removes three elementwise
+    # passes over the 4x-expanded hidden activations.  Equivalent up to one
+    # float re-association per channel (equivalence-tested); off by default
+    # so the parity path keeps the reference's separate-BN numerics
+    # (``maxvit.py:87-97``).
+    fold_bn_eval: bool = False
 
     def __post_init__(self):
         # the bwd kernel flag only takes effect via the forward flag

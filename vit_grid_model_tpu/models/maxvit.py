@@ -52,6 +52,10 @@ class MaxViTSpec:
     # GSPMD cannot partition pallas_call itself).  The caller must have the
     # mesh ambient via jax.set_mesh.  None = single-device kernels.
     pallas_shard_axis: Optional[str] = None
+    # Inference only: fold MBConv's three BatchNorms into the adjacent
+    # conv weights (pure param transform; equivalent up to one float
+    # re-association per channel).  Off by default for bit-stable parity.
+    fold_bn_eval: bool = False
 
     def layer_dims(self):
         """Yield (dim_in, dim_out, downsample) per layer, reproducing the
@@ -156,13 +160,18 @@ def _attend_windows(layer_p, which: str, xw: Array, registers: Array,
 
 def maxvit_apply(params, x: Array, cond: Array, spec: MaxViTSpec, *,
                  training: bool = False, rng: Optional[Array] = None,
-                 collect_bn: Optional[list] = None) -> Array:
+                 collect_bn: Optional[list] = None,
+                 stop_after: Optional[str] = None) -> Array:
     """x: (B, H, W, C) NHWC; cond: (B, cond_dim).  H, W divisible by the
     window size (the caller pads, ``metnet3.py:324``).
 
     In training mode with ``collect_bn`` a list, MBConv batch-norms use batch
     statistics and append their updated running stats (one dict per layer) to
     the list — the trainer merges them back into the param pytree.
+
+    ``stop_after`` ("mbconv" | "block"): profiling hook — return the partial
+    pipeline after that sub-stage of the FIRST layer (stage-roofline
+    benchmarks; meaningful at the shipped depth=(1,)).
     """
     from vit_grid_model_tpu.ops.mbconv import mbconv_train
 
@@ -186,7 +195,10 @@ def maxvit_apply(params, x: Array, cond: Array, spec: MaxViTSpec, *,
         else:
             x = mbconv(layer_p["conv"], x, dim_in=dim_in, dim_out=dim_out,
                        downsample=is_first, dropout_rate=0.0,
-                       training=training, dropout_key=keys[0])
+                       training=training, dropout_key=keys[0],
+                       fold_bn=spec.fold_bn_eval and not training)
+        if stop_after == "mbconv":
+            return x
 
         b = x.shape[0]
         # ---- block (local-window) attention ----
@@ -197,6 +209,8 @@ def maxvit_apply(params, x: Array, cond: Array, spec: MaxViTSpec, *,
         xw, r = _attend_windows(layer_p, "block_attn", xw, r, cond, bias_idx,
                                 spec, nwin, training=training, key=keys[1])
         x = W.block_reverse(xw, w, dims)
+        if stop_after == "block":
+            return x
 
         # ---- grid (strided-window) attention ----
         # registers: mean across this sample's windows, then re-broadcast

@@ -144,6 +144,7 @@ def _vit_spec(cfg: MetNet3Config) -> MaxViTSpec:
         use_pallas=cfg.use_pallas_attention,
         use_pallas_bwd=cfg.use_pallas_attention_bwd,
         pallas_shard_axis=cfg.pallas_shard_axis,
+        fold_bn_eval=cfg.fold_bn_eval,
     )
 
 
@@ -306,7 +307,8 @@ def _fused_lead_stem(params, cfg: MetNet3Config, x: Array, time_feats: Array,
 def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                   training: bool = False, rng: Optional[Array] = None,
                   return_features: bool = False,
-                  collect_bn: Optional[list] = None) -> Array:
+                  collect_bn: Optional[list] = None,
+                  stop_after: Optional[str] = None) -> Array:
     """Forward pass.
 
     x:          (B, T, C, H, W) float — the CMAQ stack (T = window_size,
@@ -315,6 +317,10 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     timestamps: (B, T', 4) raw (year, month, day, hour) rows; row 6 is used
                 (quirk #10).
     Returns (B, L, H, W) PM2.5 fields (de-standardized).
+
+    ``stop_after`` ("stem" | "vit_mbconv" | "vit_block" | "vit" |
+    "resnet2"): profiling hook — return the partial pipeline through that
+    stage (stage-roofline benchmarks; static Python control flow, jit-safe).
     """
     B, T, C, H, Wd = x.shape
     L = cfg.end_lead_time
@@ -362,11 +368,19 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
             x = jnp.concatenate([x, time_maps.astype(x.dtype)], axis=-1)
         out = resnet_blocks_apply(params["resnet1"], x, cond)
     out = vnn.max_pool_2x(out)
+    if stop_after == "stem":
+        return out
     out = maxvit_apply(params["vit"], out, cond, _vit_spec(cfg),
-                       training=training, rng=rng, collect_bn=collect_bn)
+                       training=training, rng=rng, collect_bn=collect_bn,
+                       stop_after={"vit_mbconv": "mbconv",
+                                   "vit_block": "block"}.get(stop_after))
+    if stop_after in ("vit_mbconv", "vit_block", "vit"):
+        return out
     out = vnn.conv2d_transpose(params["up"], out, stride=2)
     out = resnet_blocks_apply(params["resnet2"], out, cond)
     out = unpad_hw(out, pv)                                        # (BL,H,W,ch)
+    if stop_after == "resnet2":
+        return out
     if return_features:
         return out
 

@@ -42,16 +42,34 @@ def mbconv_init(key, dim_in: int, dim_out: int, *, downsample: bool,
 
 def mbconv(p, x: Array, *, dim_in: int, dim_out: int, downsample: bool,
            dropout_rate: float = 0.0, training: bool = False,
-           dropout_key: Optional[Array] = None) -> Array:
+           dropout_key: Optional[Array] = None,
+           fold_bn: bool = False) -> Array:
     """Inference-mode MBConv (running BN stats).  For training-mode BN see
-    ``mbconv_train`` which also returns updated statistics."""
-    h = vnn.conv2d(p["expand"], x, padding="VALID")
-    h = vnn.gelu(vnn.batch_norm(p["bn1"], h))
-    h = vnn.depthwise_conv2d(p["dw"], h, padding=1)
-    h = vnn.gelu(vnn.batch_norm(p["bn2"], h))
-    h = vnn.squeeze_excite(p["se"], h)
-    h = vnn.conv2d(p["project"], h, padding="VALID")
-    h = vnn.batch_norm(p["bn3"], h)
+    ``mbconv_train`` which also returns updated statistics.
+
+    ``fold_bn`` (inference only): fold each BatchNorm into its preceding
+    conv's weights (``vnn.fold_bn_into_conv``) so the three separate
+    elementwise BN passes disappear — equivalent up to one float
+    re-association per channel (tested); flag-gated because the parity
+    contract keeps the reference's separate-BN numerics bit-stable."""
+    if fold_bn and not training:
+        h = vnn.conv2d(vnn.fold_bn_into_conv(p["expand"], p["bn1"]), x,
+                       padding="VALID")
+        h = vnn.gelu(h)
+        h = vnn.depthwise_conv2d(vnn.fold_bn_into_conv(p["dw"], p["bn2"]),
+                                 h, padding=1)
+        h = vnn.gelu(h)
+        h = vnn.squeeze_excite(p["se"], h)
+        h = vnn.conv2d(vnn.fold_bn_into_conv(p["project"], p["bn3"]), h,
+                       padding="VALID")
+    else:
+        h = vnn.conv2d(p["expand"], x, padding="VALID")
+        h = vnn.gelu(vnn.batch_norm(p["bn1"], h))
+        h = vnn.depthwise_conv2d(p["dw"], h, padding=1)
+        h = vnn.gelu(vnn.batch_norm(p["bn2"], h))
+        h = vnn.squeeze_excite(p["se"], h)
+        h = vnn.conv2d(p["project"], h, padding="VALID")
+        h = vnn.batch_norm(p["bn3"], h)
     if dim_in == dim_out and not downsample:
         h = vnn.drop_sample(dropout_key, h, dropout_rate, training)
         h = h + x

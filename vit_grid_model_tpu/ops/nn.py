@@ -155,6 +155,24 @@ def batch_norm(p, x: Array, *, training: bool = False, eps: float = 1e-5,
     return y
 
 
+def fold_bn_into_conv(conv_p, bn_p, *, eps: float = 1e-5):
+    """Fold an inference-mode BatchNorm into the preceding conv's weights.
+
+    ``BN(conv(x))`` == ``conv'(x)`` with ``w' = w * s`` and
+    ``b' = (b - mean) * s + bias`` where ``s = scale / sqrt(var + eps)``.
+    HWIO weights put the output channel last, so ``s`` broadcasts directly
+    (this also covers depthwise convs, whose per-group output channel is
+    the last axis too).  Pure XLA param transform — a standard free win for
+    eval-mode MBConv (the reference keeps the BNs separate at eval,
+    ``maxvit.py:87-97``; numerics equivalent up to one float re-association
+    per channel, so the transform is flag-gated, see ``MetNet3Config.
+    fold_bn_eval``)."""
+    s = bn_p["scale"] * lax.rsqrt(bn_p["var"] + eps)
+    b = conv_p["b"] if "b" in conv_p else jnp.zeros_like(bn_p["mean"])
+    return {"w": conv_p["w"] * s,
+            "b": (b - bn_p["mean"]) * s + bn_p["bias"]}
+
+
 def chan_layer_norm_init(c: int, dtype=jnp.float32):
     return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
 
