@@ -114,7 +114,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)   # sweep optimum (RESULTS.md)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "int8"],
+                    help="int8 = bf16 compute + int8 resnet convs (PTQ, "
+                         "ops/quantize.py), calibrated on the bench input; "
+                         "reports the RMSE delta vs the bf16 path")
     ap.add_argument("--precision", type=str, default="default")
     ap.add_argument("--fuse-lead-stem", action="store_true", default=True)
     ap.add_argument("--no-fuse-lead-stem", dest="fuse_lead_stem",
@@ -135,16 +138,36 @@ def main():
     from vit_grid_model_tpu.core.config import MetNet3Config
     from vit_grid_model_tpu.models.metnet3 import metnet3_apply, metnet3_init
 
+    int8 = args.dtype == "int8"
+    compute_dtype = "bfloat16" if int8 else args.dtype
     cfg = MetNet3Config(
         window_size=25, n_variables=24, n_start_channels=128,
         end_lead_time=12, pm25_mean=22.5, pm25_std=15.5,
-        compute_dtype=args.dtype, fuse_lead_stem=args.fuse_lead_stem,
-        use_pallas_attention=args.pallas)
+        compute_dtype=compute_dtype, fuse_lead_stem=args.fuse_lead_stem,
+        use_pallas_attention=args.pallas, int8_convs=int8)
     params = metnet3_init(jax.random.PRNGKey(0), cfg)
     B = args.batch
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (B, 25, 24, 82, 67)) * 50.0
     ts = jnp.tile(jnp.asarray([2023.0, 1.0, 15.0, 6.0]), (B, 25, 1))
+
+    int8_rmse_delta = None
+    if int8:
+        import dataclasses
+
+        from vit_grid_model_tpu.ops.quantize import quantize_metnet3_int8
+
+        cfg_bf16 = dataclasses.replace(cfg, int8_convs=False)
+        params = quantize_metnet3_int8(params, cfg_bf16, [(x, ts)])
+        # accuracy gate: RMSE delta vs the bf16 path on the same input
+        y_bf16 = jax.jit(lambda p, a, b: metnet3_apply(
+            p, a, b, cfg_bf16))(params, x, ts)
+        y_int8 = jax.jit(lambda p, a, b: metnet3_apply(
+            p, a, b, cfg))(params, x, ts)
+        import numpy as np
+        int8_rmse_delta = float(np.sqrt(np.mean(
+            (np.asarray(y_int8, np.float64)
+             - np.asarray(y_bf16, np.float64)) ** 2)))
 
     def forward(p, xx, tt):
         with jax.default_matmul_precision(args.precision):
@@ -172,10 +195,16 @@ def main():
     fields_per_sec = B * cfg.end_lead_time / dt
 
     # MFU + roofline position from the HLO cost model of the same math
-    flops, hbm_bytes = model_cost(cfg, B, args.precision)
+    # (int8 keeps the bf16 flop basis and peak: same math, so its MFU is
+    # directly comparable — the int8 win shows up as MFU > the bf16 run's)
+    cost_cfg = cfg
+    if int8:
+        import dataclasses
+        cost_cfg = dataclasses.replace(cfg, int8_convs=False)
+    flops, hbm_bytes = model_cost(cost_cfg, B, args.precision)
     tflops = flops / dt / 1e12
-    peak = (V5E_PEAK_BF16_TFLOPS if args.dtype == "bfloat16"
-            else V5E_PEAK_F32_TFLOPS)
+    peak = (V5E_PEAK_F32_TFLOPS if args.dtype == "float32"
+            else V5E_PEAK_BF16_TFLOPS)
 
     baseline = TORCH_CPU_FIELDS_PER_SEC * TARGET_MULTIPLIER
     print(json.dumps({
@@ -190,6 +219,8 @@ def main():
         # removes most intermediate round-trips); see docs/RESULTS.md roofline
         "unfused_intensity_flop_per_byte": round(
             flops / max(hbm_bytes, 1.0), 1),
+        **({"int8_rmse_delta_vs_bf16_ugm3": round(int8_rmse_delta, 4)}
+           if int8_rmse_delta is not None else {}),
     }))
 
 

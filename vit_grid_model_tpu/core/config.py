@@ -104,6 +104,14 @@ class MetNet3Config:
     # so the parity path keeps the reference's separate-BN numerics
     # (``maxvit.py:87-97``).
     fold_bn_eval: bool = False
+    # Inference only: run the resnet1/resnet2 3x3 convs through int8
+    # (per-output-channel weights, static calibrated per-tensor activation
+    # scales — ``ops/quantize.py``).  Requires params carrying int8
+    # sidecars (``quantize_metnet3_int8``); params without sidecars fall
+    # back to the float path conv-by-conv.  Measured 1.25-1.53x on these
+    # conv shapes (``benchmarks/int8_conv.py``); accuracy-gated in
+    # ``bench.py --dtype int8``.
+    int8_convs: bool = False
 
     def __post_init__(self):
         # the bwd kernel flag only takes effect via the forward flag

@@ -48,8 +48,21 @@ def _block_init(key, dim_in, dim_out, dtype):
     }
 
 
-def _block_apply(p, x, scale_shift=None):
-    x = vnn.conv2d(p["proj"], x, padding=1)
+def _block_apply(p, x, scale_shift=None, *, int8=False, collect_amax=None,
+                 site=None):
+    """``int8``: take the quantized conv sidecar when present (PTQ path,
+    ``ops/quantize.py``).  ``collect_amax``: calibration hook — record
+    max-|input| for this conv under ``site``."""
+    if collect_amax is not None and site is not None:
+        from vit_grid_model_tpu.ops.quantize import record_amax
+
+        record_amax(collect_amax, site, x)
+    if int8 and "proj_q" in p:
+        from vit_grid_model_tpu.ops.quantize import conv2d_int8
+
+        x = conv2d_int8(p["proj_q"], x, padding=1)
+    else:
+        x = vnn.conv2d(p["proj"], x, padding=1)
     x = vnn.chan_layer_norm(p["norm"], x)
     if scale_shift is not None:
         scale, shift = scale_shift
@@ -71,14 +84,17 @@ def resnet_block_init(key, dim_in, dim_out, cond_dim=None, dtype=jnp.float32):
     return p
 
 
-def resnet_block_apply(p, x, cond=None):
+def resnet_block_apply(p, x, cond=None, *, int8=False, collect_amax=None,
+                       site=None):
     scale_shift = None
     if "mlp" in p and cond is not None:
         c = vnn.linear(p["mlp"], jax.nn.relu(cond))        # (B, 2*dim_out)
         scale, shift = jnp.split(c, 2, axis=-1)
         scale_shift = (scale[:, None, None, :], shift[:, None, None, :])
-    h = _block_apply(p["block1"], x, scale_shift)
-    h = _block_apply(p["block2"], h)
+    qkw = lambda blk: dict(int8=int8, collect_amax=collect_amax,
+                           site=f"{site}.{blk}" if site else None)
+    h = _block_apply(p["block1"], x, scale_shift, **qkw("block1"))
+    h = _block_apply(p["block2"], h, **qkw("block2"))
     res = vnn.conv2d(p["res_conv"], x, padding="VALID") if "res_conv" in p else x
     return h + res
 
@@ -93,9 +109,12 @@ def resnet_blocks_init(key, dim_in, dim_out, depth, cond_dim=None,
     return {"blocks": blocks}
 
 
-def resnet_blocks_apply(p, x, cond=None):
-    for bp in p["blocks"]:
-        x = resnet_block_apply(bp, x, cond)
+def resnet_blocks_apply(p, x, cond=None, *, int8=False, collect_amax=None,
+                        site=None):
+    for i, bp in enumerate(p["blocks"]):
+        x = resnet_block_apply(bp, x, cond, int8=int8,
+                               collect_amax=collect_amax,
+                               site=f"{site}.{i}" if site else None)
     return x
 
 
@@ -241,7 +260,8 @@ def _condition_time(params, cfg: MetNet3Config, target_time: Array,
 
 
 def _fused_lead_stem(params, cfg: MetNet3Config, x: Array, time_feats: Array,
-                     cond: Array, B: int, L: int) -> Array:
+                     cond: Array, B: int, L: int, *, int8: bool = False,
+                     collect_amax: Optional[dict] = None) -> Array:
     """Lead-factorized stem: the network input is the SAME (T*C)-channel
     stack for all L leads of a sample — only the 5 constant conditioning
     channels and the FiLM cond differ (``metnet3.py:383-416``).  The first
@@ -287,7 +307,8 @@ def _fused_lead_stem(params, cfg: MetNet3Config, x: Array, time_feats: Array,
     if scale_shift is not None:
         h = h * (scale_shift[0] + 1.0) + scale_shift[1]
     h = jax.nn.relu(h)
-    h = _block_apply(block1["block2"], h)
+    h = _block_apply(block1["block2"], h, int8=int8,
+                     collect_amax=collect_amax, site="resnet1.0.block2")
 
     # residual 1x1 conv 605->128: same shared/time split (no borders)
     res_w = block1["res_conv"]["w"][0, 0]                 # (C_in, O)
@@ -299,8 +320,10 @@ def _fused_lead_stem(params, cfg: MetNet3Config, x: Array, time_feats: Array,
     out = h + res
 
     # remaining resnet1 blocks run per-(sample, lead) as usual
-    for bp in params["resnet1"]["blocks"][1:]:
-        out = resnet_block_apply(bp, out, cond)
+    for i, bp in enumerate(params["resnet1"]["blocks"][1:], start=1):
+        out = resnet_block_apply(bp, out, cond, int8=int8,
+                                 collect_amax=collect_amax,
+                                 site=f"resnet1.{i}")
     return out
 
 
@@ -308,7 +331,8 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                   training: bool = False, rng: Optional[Array] = None,
                   return_features: bool = False,
                   collect_bn: Optional[list] = None,
-                  stop_after: Optional[str] = None) -> Array:
+                  stop_after: Optional[str] = None,
+                  collect_amax: Optional[dict] = None) -> Array:
     """Forward pass.
 
     x:          (B, T, C, H, W) float — the CMAQ stack (T = window_size,
@@ -329,9 +353,15 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
         # throughput mode: run the whole network in bf16 (weights + acts);
         # matmul accumulation stays f32 via preferred_element_type, and the
         # head output is cast back to f32 before de-standardization.
-        params = jax.tree.map(
-            lambda a: a.astype(dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
+        # int8 sidecars ('proj_q': quantized weights + f32 scales/bias,
+        # ops/quantize.py) are left untouched — bf16-rounding the dequant
+        # scales would add a systematic per-channel gain error.
+        def _cast(path, a):
+            if any(getattr(k, "key", None) == "proj_q" for k in path):
+                return a
+            return (a.astype(dtype)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a)
+        params = jax.tree_util.tree_map_with_path(_cast, params)
 
     x = standardize_pm_channels(x, cfg)
 
@@ -354,9 +384,11 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     x = x.astype(dtype)
     cond = cond.astype(dtype)
 
+    int8 = cfg.int8_convs and not training
     if cfg.fuse_lead_stem and cfg.concat_time_to_input:
         out = _fused_lead_stem(params, cfg, x, time_feats.astype(dtype),
-                               cond, B, L)
+                               cond, B, L, int8=int8,
+                               collect_amax=collect_amax)
     else:
         # per-lead batch expansion, sample-major (B*L), the reference's
         # repeat_interleave (``metnet3.py:383``)
@@ -366,7 +398,8 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                 time_feats[:, None, None, :],
                 (B * L, Hp, Wp, time_feats.shape[-1]))
             x = jnp.concatenate([x, time_maps.astype(x.dtype)], axis=-1)
-        out = resnet_blocks_apply(params["resnet1"], x, cond)
+        out = resnet_blocks_apply(params["resnet1"], x, cond, int8=int8,
+                                  collect_amax=collect_amax, site="resnet1")
     out = vnn.max_pool_2x(out)
     if stop_after == "stem":
         return out
@@ -377,7 +410,8 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     if stop_after in ("vit_mbconv", "vit_block", "vit"):
         return out
     out = vnn.conv2d_transpose(params["up"], out, stride=2)
-    out = resnet_blocks_apply(params["resnet2"], out, cond)
+    out = resnet_blocks_apply(params["resnet2"], out, cond, int8=int8,
+                              collect_amax=collect_amax, site="resnet2")
     out = unpad_hw(out, pv)                                        # (BL,H,W,ch)
     if stop_after == "resnet2":
         return out
