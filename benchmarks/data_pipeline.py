@@ -40,10 +40,17 @@ def main():
 
     root = "/tmp/vit_synth_dpbench"
     shutil.rmtree(root, ignore_errors=True)
+    # 8 days -> 192 samples: >=7 full batches per epoch at B=25.  The
+    # round-3 4-day tree gave B=25 only THREE batches per epoch, so the
+    # "steady" rate was dominated by the pipeline-fill batches (the
+    # consumer idles while batch 1 assembles) — the published 69.2
+    # samples/s "cliff" was this amortization artifact, not assembly cost:
+    # direct get_batch_collated is FASTER per sample at B=25 than at B=4
+    # (benchmarks/loader_profile.py; docs/RESULTS.md round 4).
     tree = synthetic.generate_tree(root, datetime(2023, 1, 10, 0),
-                                   datetime(2023, 1, 13, 23))
+                                   datetime(2023, 1, 17, 23))
     times = TU.eval_time_list(datetime(2023, 1, 10, 0),
-                              datetime(2023, 1, 13, 23), 13, 12)
+                              datetime(2023, 1, 17, 23), 13, 12)
     rng = np.random.default_rng(0)
     feats = rng.random((len(times), 11, 12)).astype(np.float32)
     masks = np.ones((len(times), 11))
