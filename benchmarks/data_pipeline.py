@@ -114,7 +114,8 @@ def main():
             # training shuffles: sample-level forfeits union assembly,
             # the chunk-shuffle mode keeps it (docs/RESULTS.md)
             ("batch_loader_shuffle_samples", "auto", 4, True),
-            ("batch_loader_shuffle_batches", "auto", 4, "batches")):
+            ("batch_loader_shuffle_batches", "auto", 4, "batches"),
+            ("batch_loader_shuffle_buffer", "auto", 4, "buffer")):
         loader = BatchLoader(ours, batch_size=bs, num_workers=4,
                              dispatch=dispatch, shuffle=shuffle, seed=1)
         for epoch_label in (label + "_firstepoch", label):

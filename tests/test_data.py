@@ -247,6 +247,53 @@ def test_loader_batch_shuffle_mode(tree):
     assert n == len(ds)
 
 
+def test_loader_buffer_shuffle_mode(tree):
+    """shuffle='buffer': union-assembled source batches feed a reservoir;
+    emitted batches draw random samples from it.  Every sample appears
+    exactly once per epoch with bit-identical content, composition mixes
+    beyond consecutive runs, and the stream is seed-deterministic."""
+    times = _times()
+    feats, masks = _feats(times)
+    ds = AirOnlyDataset(times, feats, masks, 3, 2, 4, 8, 3)
+    ref = {}                                   # sample key -> full tuple
+    for i in range(len(ds)):
+        s = ds[i]
+        ref[s[0].tobytes() + s[5].tobytes()] = (i, s)
+
+    def run_epoch(seed):
+        loader = BatchLoader(ds, batch_size=3, shuffle="buffer", seed=seed,
+                             num_workers=2, shuffle_buffer=3)
+        out = []
+        for batch in loader:
+            for i in range(batch[0].shape[0]):
+                out.append(tuple(np.array(f[i]) for f in batch))
+        return out
+
+    samples = run_epoch(seed=1)
+    assert len(samples) == len(ds)
+    seen_idx = []
+    for s in samples:
+        key = s[0].tobytes() + s[5].tobytes()
+        assert key in ref, "emitted sample not in dataset"
+        i, orig = ref[key]
+        seen_idx.append(i)
+        for f_out, f_ref in zip(s, orig):      # bit-identical content
+            np.testing.assert_array_equal(f_out, np.asarray(f_ref))
+    assert sorted(seen_idx) == list(range(len(ds)))   # exactly once each
+    # mixing: emission order is not a rotation of consecutive index runs
+    diffs = np.diff(seen_idx)
+    assert np.sum(diffs != 1) > len(ds) // 4
+    # determinism: same seed -> same stream
+    again = [s[5].tobytes() for s in run_epoch(seed=1)]
+    assert again == [s[5].tobytes() for s in samples]
+    # drop_last applies at emission
+    dropped = BatchLoader(ds, batch_size=3, shuffle="buffer", seed=1,
+                          num_workers=2, shuffle_buffer=3, drop_last=True)
+    counts = [b[0].shape[0] for b in dropped]
+    assert all(c == 3 for c in counts)
+    assert sum(counts) == len(ds) - len(ds) % 3
+
+
 def test_remaining_dataset_variants(tree):
     """Shapes/contracts of the in-memory and image/station dataset variants."""
     from vit_grid_model_tpu.data.datasets import (

@@ -73,13 +73,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "with in-kernel dropout (measured-best train config: "
                         "77.9 ms/step vs 143.8 pure-XLA at flagship B=4; "
                         "see docs/RESULTS.md)")
-    p.add_argument("--shuffle_mode", choices=("samples", "batches"),
+    p.add_argument("--shuffle_mode", choices=("samples", "batches", "buffer"),
                    default="samples",
                    help="'batches' shuffles CONSECUTIVE-index batches "
                         "instead of samples: keeps the union-assembly "
-                        "fast path (3.3x loader throughput, "
-                        "docs/RESULTS.md) at the cost of coarser SGD "
-                        "noise (window-neighbor samples co-occur)")
+                        "fast path (2x loader throughput, docs/RESULTS.md) "
+                        "at the cost of coarse SGD noise (window-neighbor "
+                        "samples co-occur).  'buffer' keeps union assembly "
+                        "AND mixes batch composition through a "
+                        "--shuffle_buffer-batch reservoir (tf.data-style "
+                        "local shuffle) — the recommended training mode")
+    p.add_argument("--shuffle_buffer", type=int, default=8,
+                   help="reservoir size in batches for "
+                        "--shuffle_mode buffer")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_root", type=str, default="/tmp/vit_synth_train")
     p.add_argument("--checkpoint_dir", type=str, default="check_points")
@@ -102,7 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
-                         shuffle_mode="samples", x_dtype=np.float32):
+                         shuffle_mode="samples", x_dtype=np.float32,
+                         shuffle_buffer=8):
     """Adapt v3 dataset samples into train-step batches, looping epochs.
 
     ``x_dtype=bfloat16`` fuses the host-side compute-dtype cast into the
@@ -111,9 +118,11 @@ def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
     from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
     from vit_grid_model_tpu.data.pipeline import BatchLoader
 
-    shuffle = "batches" if shuffle_mode == "batches" else True
+    shuffle = (shuffle_mode if shuffle_mode in ("batches", "buffer")
+               else True)
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=shuffle,
-                         seed=seed, num_workers=num_workers)
+                         seed=seed, num_workers=num_workers,
+                         shuffle_buffer=shuffle_buffer)
     while True:
         for (feats, masks, sim, curr, reanalysis, cls, raw_times,
              prev) in loader:
@@ -244,6 +253,7 @@ def main(argv=None) -> None:
     batches = batches_from_dataset(
         dataset, data_cfg, args.batch_size, args.num_workers,
         args.seed + int(state.step), shuffle_mode=args.shuffle_mode,
+        shuffle_buffer=args.shuffle_buffer,
         # bf16 training casts the CMAQ stack on device anyway
         # (metnet3_apply); casting on host — fused into the native repack —
         # halves the host->device bytes of the dominant batch member

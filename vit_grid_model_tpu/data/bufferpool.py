@@ -27,9 +27,15 @@ import numpy as np
 
 
 class BufferPool:
-    def __init__(self, max_per_key: int = 4):
-        # 4 = the loader's worst-case live set: prefetch queue (2) +
-        # consumer-held batch + the batch being written
+    def __init__(self, max_per_key: int = 16):
+        # the cap only bounds how many buffers may be RETAINED per key —
+        # the pool grows to actual concurrent demand, never eagerly.  The
+        # loader's worst case: prefetch queue (2) + consumer-held batch +
+        # the batch being written, PLUS, under shuffle="buffer", the
+        # ~shuffle_buffer source batches the zero-copy reservoir pins
+        # (pipeline.py::_buffer_shuffle) — hence 16, not 4 (a lower cap
+        # makes the reservoir allocate fresh every batch, re-paying the
+        # first-touch page-fault storm the pool exists to avoid)
         self._max = max_per_key
         self._lock = threading.Lock()
         self._bufs: Dict[tuple, list] = {}

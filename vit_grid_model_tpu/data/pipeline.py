@@ -26,22 +26,31 @@ class BatchLoader:
     Deterministic order (``shuffle=False`` like the eval loader) unless a
     seed is given; ``drop_last=False`` matches ``evaluation_vit.py:138``.
 
-    ``shuffle`` accepts ``"batches"`` besides True/False: the epoch is cut
-    into CONSECUTIVE-index batches (at a per-epoch random rotation) and the
-    batch ORDER is shuffled.  Consecutive batches keep the union-assembly
-    fast path (``get_batch_collated``: (B-1+T)/(B*T) of the file reads),
-    which sample-level shuffling forfeits — measured 136.7 vs 41.2
-    samples/s steady at the flagship geometry (docs/RESULTS.md).  The
-    trade is coarser SGD noise: samples co-occur with their window
-    neighbors (which overlap in all but one timestep anyway); batch order
-    and the cut points still re-randomize every epoch.
+    ``shuffle`` accepts ``"batches"`` and ``"buffer"`` besides True/False:
+
+    * ``"batches"``: the epoch is cut into CONSECUTIVE-index batches (at a
+      per-epoch random rotation) and the batch ORDER is shuffled.
+      Consecutive batches keep the union-assembly fast path
+      (``get_batch_collated``: (B-1+T)/(B*T) of the file reads), which
+      sample-level shuffling forfeits — measured 87.7 vs 42.2 samples/s
+      steady at the flagship geometry (docs/RESULTS.md).  The trade is
+      coarse SGD noise: samples co-occur with their window neighbors.
+    * ``"buffer"``: union-assembled consecutive batches feed a reservoir
+      of ``shuffle_buffer * batch_size`` samples (preallocated ring
+      slots), and emitted batches draw ``batch_size`` samples uniformly
+      from the reservoir — the standard shuffle-buffer (tf.data/grain)
+      local shuffle.  Batch composition mixes across ~``shuffle_buffer``
+      source batches (whose ORDER is itself shuffled per epoch), removing
+      the neighbors-co-occur artifact of ``"batches"`` at a fraction of
+      sample-level shuffling's assembly cost (two extra memcpys per
+      sample instead of a per-sample union re-read).
     """
 
     def __init__(self, dataset, batch_size: int, *, shuffle=False,
                  seed: int = 0, num_workers: int = 4,
                  prefetch_batches: int = 2, drop_last: bool = False,
                  collate: Optional[Callable] = None,
-                 dispatch: str = "auto"):
+                 dispatch: str = "auto", shuffle_buffer: int = 8):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +74,7 @@ class BatchLoader:
         if dispatch not in ("auto", "single", "pool"):
             raise ValueError(f"unknown dispatch mode {dispatch!r}")
         self.dispatch = dispatch
+        self.shuffle_buffer = max(2, shuffle_buffer)
         self._epoch = 0
 
     def _single_dispatch(self) -> bool:
@@ -80,7 +90,7 @@ class BatchLoader:
 
     def _batch_indices(self):
         idx = np.arange(len(self.dataset))
-        if self.shuffle == "batches":
+        if self.shuffle in ("batches", "buffer"):
             # rotate the epoch (re-randomizes the cut points), chunk into
             # consecutive runs, shuffle the run order.  The wrap-around
             # chunk is the one non-consecutive batch per epoch; it simply
@@ -91,7 +101,10 @@ class BatchLoader:
             rng.shuffle(starts)
             for s in starts:
                 chunk = idx[s:s + self.batch_size]
-                if self.drop_last and len(chunk) < self.batch_size:
+                if (self.drop_last and len(chunk) < self.batch_size
+                        and self.shuffle == "batches"):
+                    # buffer mode: ragged SOURCE chunks still feed the
+                    # reservoir; drop_last applies to EMITTED batches
                     continue
                 if len(chunk):
                     yield chunk
@@ -105,6 +118,49 @@ class BatchLoader:
             chunk = idx[s:s + self.batch_size]
             if len(chunk):
                 yield chunk
+
+    def _buffer_shuffle(self, stream) -> Iterator:
+        """Local (reservoir) shuffle over union-assembled source batches.
+
+        ZERO-COPY reservoir: entries are (source_batch, row) references —
+        copying samples into staging rings costs two full memcpys of the
+        ~15 MB sim tensor per sample, which on this class of host is more
+        than the union assembly itself (measured 43.7 vs 74.5 samples/s).
+        The single unavoidable copy happens at emission, gathering the
+        chosen rows into pooled output buffers.  Held source batches keep
+        their pooled buffers alive for ~``shuffle_buffer`` batches — the
+        pool's per-key cap covers that working set (``bufferpool.py``).
+        """
+        from vit_grid_model_tpu.data.bufferpool import POOL
+
+        rng = np.random.default_rng(self.seed * 7919 + self._epoch)
+        cap = self.shuffle_buffer * self.batch_size
+        entries: list = []                       # (batch_tuple, row)
+
+        def emit(n):
+            pick = rng.choice(len(entries), size=n, replace=False)
+            chosen = [entries[t] for t in pick]
+            for t in sorted(pick, reverse=True):
+                entries.pop(t)
+            fields = []
+            for f_idx in range(len(chosen[0][0])):
+                proto = np.asarray(chosen[0][0][f_idx])
+                buf = POOL.get((n,) + proto.shape[1:], proto.dtype)
+                for j, (src, i) in enumerate(chosen):
+                    buf[j] = src[f_idx][i]
+                fields.append(buf)
+            return tuple(fields)
+
+        for batch in stream:
+            for i in range(np.asarray(batch[0]).shape[0]):
+                entries.append((batch, i))
+            while len(entries) >= cap:
+                yield emit(self.batch_size)
+        while entries:                               # epoch drain
+            n = min(self.batch_size, len(entries))
+            if self.drop_last and n < self.batch_size:
+                return
+            yield emit(n)
 
     def __iter__(self) -> Iterator:
         self._epoch += 1
@@ -123,43 +179,50 @@ class BatchLoader:
                     continue
             return False
 
-        def produce():
-            try:
-                if self._single_dispatch():
-                    # the native assembler's internal pool is the only
-                    # parallelism; the prefetch queue double-buffers the
-                    # collated batch against the consumer's device_put +
-                    # compute.  Preference order per batch:
-                    # get_batch_collated (one native pass STRAIGHT into the
-                    # batched arrays — no slice/stack copies) ->
-                    # get_batch (union assembly, then collate) ->
-                    # per-sample __getitem__.
-                    get_collated = (getattr(self.dataset,
-                                            "get_batch_collated", None)
-                                    if self._stock_collate else None)
-                    get_batch = getattr(self.dataset, "get_batch", None)
-                    get = self.dataset.__getitem__
+        def assembled():
+            """Collated batches in epoch (chunk) order."""
+            if self._single_dispatch():
+                # the native assembler's internal pool is the only
+                # parallelism; the prefetch queue double-buffers the
+                # collated batch against the consumer's device_put +
+                # compute.  Preference order per batch:
+                # get_batch_collated (one native pass STRAIGHT into the
+                # batched arrays — no slice/stack copies) ->
+                # get_batch (union assembly, then collate) ->
+                # per-sample __getitem__.
+                get_collated = (getattr(self.dataset,
+                                        "get_batch_collated", None)
+                                if self._stock_collate else None)
+                get_batch = getattr(self.dataset, "get_batch", None)
+                get = self.dataset.__getitem__
+                for chunk in self._batch_indices():
+                    if stop.is_set():
+                        return
+                    batch = (get_collated(chunk)
+                             if get_collated is not None else None)
+                    if batch is None:
+                        samples = (get_batch(chunk)
+                                   if get_batch is not None
+                                   else [get(i) for i in chunk])
+                        batch = self.collate(samples)
+                    yield batch
+            else:
+                with ThreadPoolExecutor(self.num_workers) as pool:
                     for chunk in self._batch_indices():
                         if stop.is_set():
                             return
-                        batch = (get_collated(chunk)
-                                 if get_collated is not None else None)
-                        if batch is None:
-                            samples = (get_batch(chunk)
-                                       if get_batch is not None
-                                       else [get(i) for i in chunk])
-                            batch = self.collate(samples)
-                        if not put(("batch", batch)):
-                            return
-                else:
-                    with ThreadPoolExecutor(self.num_workers) as pool:
-                        for chunk in self._batch_indices():
-                            if stop.is_set():
-                                return
-                            samples = list(pool.map(self.dataset.__getitem__,
-                                                    chunk))
-                            if not put(("batch", self.collate(samples))):
-                                return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                chunk))
+                        yield self.collate(samples)
+
+        def produce():
+            try:
+                stream = assembled()
+                if self.shuffle == "buffer":
+                    stream = self._buffer_shuffle(stream)
+                for batch in stream:
+                    if not put(("batch", batch)):
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 put(("error", e))
                 return

@@ -275,6 +275,8 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
 
     import itertools
 
+    from vit_grid_model_tpu.utils.hbm import oom_guard
+
     it = (iter(loader) if max_batches is None
           else itertools.islice(iter(loader), max_batches))
     nxt = next(it, None)
@@ -284,11 +286,13 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         bi += 1
         ((simulation, curr_re, reanalysis, re_cls, raw_times, prev_vals),
          B, x, ts, use_tail) = staged
-        preds_dev = (tail_fwd(x, ts) if use_tail
-                     else fwd(params, x, ts))    # async dispatch
-        nxt = next(it, None)                     # overlap: stage k+1 now
-        staged = _stage(nxt) if nxt is not None else None
-        preds = np.asarray(preds_dev)[:B].reshape(B, L, cells)
+        with oom_guard("MetNet3 evaluation forward", batch_size):
+            preds_dev = (tail_fwd(x, ts) if use_tail
+                         else fwd(params, x, ts))   # async dispatch
+            nxt = next(it, None)                    # overlap: stage k+1 now
+            staged = _stage(nxt) if nxt is not None else None
+            # readback: XLA compile/alloc failures surface here
+            preds = np.asarray(preds_dev)[:B].reshape(B, L, cells)
         preds = np.maximum(preds, 0.0)           # ``evaluation_vit.py:254``
         if np.isnan(preds).any():                # NaN guard (``:256``)
             raise FloatingPointError(

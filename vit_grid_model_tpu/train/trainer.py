@@ -175,23 +175,32 @@ def train_loop(state: TrainState, batches: Iterable, step_fn: Callable, *,
                log_every: int = 10, max_steps: Optional[int] = None,
                log: Callable[[str], None] = print):
     """Drive the jitted step over an iterable of host batches."""
+    from vit_grid_model_tpu.utils.hbm import oom_guard
+
     t0 = time.time()
     roll = [0, t0]       # [step count, timestamp] at the last log line
     for i, batch in enumerate(batches):
         if max_steps is not None and i >= max_steps:
             break
-        state, metrics = step_fn(state, batch)
-        if i % log_every == 0:
-            # the readback waits on every prior step via data dependence,
-            # so the logged steps/s stays honest without a per-step sync
-            m = {k: float(v) for k, v in metrics.items()}
-            now = time.time()
-            rate = (i + 1) / (now - t0)
-            # rolling window = the steady state, free of compile+warmup
-            last = ((i + 1 - roll[0]) / max(now - roll[1], 1e-9)
-                    if i else 0.0)
-            roll[:] = [i + 1, now]
-            log(f"step {int(state.step)}: loss={m['loss']:.4f} "
-                f"rmse={m['rmse']:.3f} gnorm={m['grad_norm']:.3f} "
-                f"({rate:.2f} steps/s cum, {last:.2f} last-{log_every})")
+        with oom_guard("train step",
+                       np.asarray(batch["x"]).shape[0]
+                       if isinstance(batch, dict) and "x" in batch
+                       else None):
+            # compile-time HBM exhaustion surfaces at the call; runtime
+            # exhaustion at the metric readback below — both guarded
+            state, metrics = step_fn(state, batch)
+            if i % log_every == 0:
+                # the readback waits on every prior step via data
+                # dependence, so the logged steps/s stays honest without a
+                # per-step sync
+                m = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                rate = (i + 1) / (now - t0)
+                # rolling window = the steady state, free of compile+warmup
+                last = ((i + 1 - roll[0]) / max(now - roll[1], 1e-9)
+                        if i else 0.0)
+                roll[:] = [i + 1, now]
+                log(f"step {int(state.step)}: loss={m['loss']:.4f} "
+                    f"rmse={m['rmse']:.3f} gnorm={m['grad_norm']:.3f} "
+                    f"({rate:.2f} steps/s cum, {last:.2f} last-{log_every})")
     return state
