@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "samples co-occur).  'buffer' keeps union assembly "
                         "AND mixes batch composition through a "
                         "--shuffle_buffer-batch reservoir (tf.data-style "
-                        "local shuffle) — the recommended training mode")
+                        "local shuffle): 1.32x flagship wall-clock for "
+                        "+0.034 held-out RMSE at reservoir=8 "
+                        "(docs/RESULTS.md shuffle-mode A/B)")
     p.add_argument("--shuffle_buffer", type=int, default=8,
                    help="reservoir size in batches for "
                         "--shuffle_mode buffer")
