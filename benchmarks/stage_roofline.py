@@ -31,9 +31,9 @@ from vit_grid_model_tpu.models.metnet3 import metnet3_apply, metnet3_init
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 # prefix order; None = full forward (incl. head + de-standardization)
-STAGES = ("stem", "vit_mbconv", "vit_block", "vit", "resnet2", None)
-LABELS = ("stem+pool", "mbconv", "block_attn", "grid_attn", "up+resnet2",
-          "heads")
+STAGES = ("input", "stem", "vit_mbconv", "vit_block", "vit", "resnet2", None)
+LABELS = ("input_prep", "stem+pool", "mbconv", "block_attn", "grid_attn",
+          "up+resnet2", "heads")
 
 
 def prefix_flops(cfg: MetNet3Config, B: int) -> dict:

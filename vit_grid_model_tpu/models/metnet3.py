@@ -342,9 +342,11 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                 (quirk #10).
     Returns (B, L, H, W) PM2.5 fields (de-standardized).
 
-    ``stop_after`` ("stem" | "vit_mbconv" | "vit_block" | "vit" |
+    ``stop_after`` ("input" | "stem" | "vit_mbconv" | "vit_block" | "vit" |
     "resnet2"): profiling hook — return the partial pipeline through that
     stage (stage-roofline benchmarks; static Python control flow, jit-safe).
+    "input" is everything before the first conv: standardize + the
+    (B,T,C,H,W)→NHWC relayout + pad + compute-dtype cast.
     """
     B, T, C, H, Wd = x.shape
     L = cfg.end_lead_time
@@ -383,6 +385,8 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
 
     x = x.astype(dtype)
     cond = cond.astype(dtype)
+    if stop_after == "input":
+        return x
 
     int8 = cfg.int8_convs and not training
     if cfg.fuse_lead_stem and cfg.concat_time_to_input:
