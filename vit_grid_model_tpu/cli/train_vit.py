@@ -82,9 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "samples co-occur).  'buffer' keeps union assembly "
                         "AND mixes batch composition through a "
                         "--shuffle_buffer-batch reservoir (tf.data-style "
-                        "local shuffle): 1.32x flagship wall-clock for "
-                        "+0.034 held-out RMSE at reservoir=8 "
-                        "(docs/RESULTS.md shuffle-mode A/B)")
+                        "local shuffle): reservoir=8 is 1.32x flagship "
+                        "wall-clock for +0.034 held-out RMSE; reservoir=64 "
+                        "matches sample-level accuracy but loses the "
+                        "throughput edge to epoch refills (measured curve: "
+                        "docs/RESULTS.md shuffle-mode A/B)")
     p.add_argument("--shuffle_buffer", type=int, default=8,
                    help="reservoir size in batches for "
                         "--shuffle_mode buffer")
