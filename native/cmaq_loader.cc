@@ -484,12 +484,68 @@ void vg_repack_model_input(const float* src, int64_t n_samples, int64_t hw,
   });
 }
 
+// Stage a channels-last simulation stack DIRECTLY into the model's
+// nhwc_input device layout (MetNet3Config.nhwc_input):
+//   src (B, H, W, T*(4S+4)) f32 contiguous ->
+//   dst (B, Hp, Wp, T*4S) f32, or bf16 (uint16) when out_bf16 != 0,
+// zero-padded (interior at rows [pad_t, pad_t+H), cols [pad_l, pad_l+W)),
+// the 4 per-step lead channels dropped.  Unlike vg_repack_model_input
+// there is NO axis permutation — src and dst are both channels-last —
+// so each interior pixel is T sequential 4S-float runs: streaming reads,
+// streaming writes.  Every output byte is written (pads zeroed), so
+// pooled, non-zeroed destination buffers are safe.
+void vg_repack_nhwc(const float* src, int64_t n_samples, int64_t h,
+                    int64_t w, int64_t t_steps, int64_t n_species,
+                    int64_t pad_l, int64_t pad_t, int64_t hp, int64_t wp,
+                    void* dst, int out_bf16, int n_threads) {
+  const int64_t bc = 4 * n_species + 4;           // source channels per step
+  const int64_t nc = 4 * n_species;               // kept channels per step
+  const int64_t src_pix = t_steps * bc;
+  const int64_t dst_pix = t_steps * nc;
+  const int64_t dst_row = wp * dst_pix;
+  // task = one padded output row: a (b, y) pair
+  run_parallel(n_samples * hp, n_threads, [&](int64_t task) {
+    const int64_t b = task / hp, y = task % hp;
+    const bool pad_row = (y < pad_t) || (y >= pad_t + h);
+    if (out_bf16) {
+      uint16_t* drow = (uint16_t*)dst + (b * hp + y) * dst_row;
+      if (pad_row) { memset(drow, 0, dst_row * 2); return; }
+      memset(drow, 0, pad_l * dst_pix * 2);
+      memset(drow + (pad_l + w) * dst_pix, 0,
+             (wp - pad_l - w) * dst_pix * 2);
+      const float* srow = src + (b * h + (y - pad_t)) * w * src_pix;
+      for (int64_t x = 0; x < w; ++x) {
+        const float* s = srow + x * src_pix;
+        uint16_t* d = drow + (pad_l + x) * dst_pix;
+        for (int64_t t = 0; t < t_steps; ++t) {
+          const float* st = s + t * bc;
+          uint16_t* dt = d + t * nc;
+          for (int64_t c = 0; c < nc; ++c) dt[c] = f32_to_bf16(st[c]);
+        }
+      }
+    } else {
+      float* drow = (float*)dst + (b * hp + y) * dst_row;
+      if (pad_row) { memset(drow, 0, dst_row * 4); return; }
+      memset(drow, 0, pad_l * dst_pix * 4);
+      memset(drow + (pad_l + w) * dst_pix, 0,
+             (wp - pad_l - w) * dst_pix * 4);
+      const float* srow = src + (b * h + (y - pad_t)) * w * src_pix;
+      for (int64_t x = 0; x < w; ++x) {
+        const float* s = srow + x * src_pix;
+        float* d = drow + (pad_l + x) * dst_pix;
+        for (int64_t t = 0; t < t_steps; ++t)
+          memcpy(d + t * nc, s + t * bc, nc * 4);
+      }
+    }
+  });
+}
+
 // Count of loud load failures (files np.load would accept but this reader
 // zero-filled) since start / last reset — lets callers assert the data
 // plane saw nothing it silently mishandled.
 int64_t vg_unsupported_count() { return g_unsupported.load(); }
 void vg_reset_unsupported_count() { g_unsupported.store(0); }
 
-int vg_abi_version() { return 4; }
+int vg_abi_version() { return 5; }
 
 }  // extern "C"

@@ -104,6 +104,17 @@ class MetNet3Config:
     # so the parity path keeps the reference's separate-BN numerics
     # (``maxvit.py:87-97``).
     fold_bn_eval: bool = False
+    # Input arrives HOST-PREPARED in the device layout: (B, Hp, Wp, T*C)
+    # channels-last, already zero-padded to pad_multiple and already in
+    # compute_dtype, PM channels still raw (standardization stays
+    # in-forward, reference quirk ``metnet3.py:362``).  Skips the
+    # (B,T,C,H,W)->NHWC on-chip relayout — measured 8.0 ms (5.2%) of the
+    # flagship forward (docs/RESULTS.md stage roofline) — by letting the
+    # host assembler emit this layout directly (its native stack is
+    # already channels-last; ``data/assembly.py::sim_stack_to_nhwc_input``).
+    # Bit-exact vs the bf16-staged (B,T,C,H,W) path (tests/test_nhwc_input.py).
+    # Not supported together with stn_img_channel.
+    nhwc_input: bool = False
     # Inference only: run the resnet1/resnet2 3x3 convs through int8
     # (per-output-channel weights, static calibrated per-tensor activation
     # scales — ``ops/quantize.py``).  Requires params carrying int8

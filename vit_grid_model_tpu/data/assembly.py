@@ -163,6 +163,45 @@ def sim_stack_to_model_input(simulation: np.ndarray, total_steps: int,
     return out
 
 
+def sim_stack_to_nhwc_input(simulation: np.ndarray, total_steps: int,
+                            pad_multiple: int = 14,
+                            out_dtype=np.float32) -> np.ndarray:
+    """(B, H, W, T*(4S+4)) channels-last stack -> the model's
+    ``nhwc_input`` contract: (B, Hp, Wp, T*4S), the 4 lead channels
+    dropped per step, H/W zero-padded to ``pad_multiple`` (centered,
+    same split as ``models.metnet3.pad_values`` — pinned by
+    tests/test_nhwc_input.py), cast to ``out_dtype``.
+
+    TPU-first staging: the assembled stack is ALREADY channels-last, so
+    unlike ``sim_stack_to_model_input`` (which transposes H,W to the
+    minor axes for the reference (B,T,C,H,W) contract, only for the
+    model to transpose them back on-chip at 8 ms/batch), this is a pure
+    strided channel-subset copy — no axis permutation on host OR device.
+    Native fused pass: ``vg_repack_nhwc``; numpy fallback byte-identical.
+    """
+    from vit_grid_model_tpu.data.bufferpool import POOL
+
+    b, h, w, ch = simulation.shape
+    bc = ch // total_steps
+    nc = bc - 4
+    pad_h = (pad_multiple - h) % pad_multiple
+    pad_w = (pad_multiple - w) % pad_multiple
+    left, top = pad_w // 2, pad_h // 2
+    hp, wp = h + pad_h, w + pad_w
+    out = POOL.get((b, hp, wp, total_steps * nc), out_dtype)
+
+    from vit_grid_model_tpu.data import native
+
+    if not native.repack_nhwc_native(simulation, total_steps,
+                                     (left, top, hp, wp), out):
+        out[:] = 0
+        x = simulation.reshape(b, h, w, total_steps, bc)[..., :nc]
+        # x is a non-contiguous view; reshape materializes it f32, the
+        # slice assignment then casts into the pooled buffer
+        out[:, top:top + h, left:left + w] = x.reshape(b, h, w, -1)
+    return out
+
+
 def host_stage_dtype(x: np.ndarray, compute_dtype: str) -> np.ndarray:
     """Cast a model input to the compute dtype on the HOST when it is
     bf16: the device would cast it anyway (same round-to-nearest), and

@@ -41,7 +41,7 @@ _tried = False
 DEFAULT_THREADS = max(1, int(os.environ.get("VGM_NATIVE_THREADS", "4")))
 
 
-ABI_VERSION = 4
+ABI_VERSION = 5
 
 
 def _build() -> bool:
@@ -64,6 +64,7 @@ def _try_open() -> Optional[ctypes.CDLL]:
         lib.vg_load_cycle_files.restype = ctypes.c_int64
         lib.vg_unsupported_count.restype = ctypes.c_int64
         lib.vg_repack_model_input.restype = None
+        lib.vg_repack_nhwc.restype = None
         return lib
     except Exception:
         return None
@@ -228,6 +229,44 @@ def repack_model_input_native(simulation: np.ndarray, total_steps: int,
         simulation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(b), ctypes.c_int64(h * w),
         ctypes.c_int64(total_steps), ctypes.c_int64(n_species),
+        ctypes.c_void_p(out.ctypes.data), ctypes.c_int(int(out_bf16)),
+        ctypes.c_int(n_threads))
+    return True
+
+
+def repack_nhwc_native(simulation: np.ndarray, total_steps: int,
+                       pads: Tuple[int, int, int, int], out: np.ndarray,
+                       n_threads: int = DEFAULT_THREADS) -> bool:
+    """Native (B, H, W, T*(4S+4)) -> (B, Hp, Wp, T*4S) staging for the
+    model's ``nhwc_input`` contract (``vg_repack_nhwc``): lead channels
+    dropped, centered zero pad, optional fused bf16 cast.  ``pads`` is
+    (pad_left, pad_top, hp, wp).  Returns False when the native library
+    is unavailable or the layout doesn't apply (caller falls back to the
+    byte-identical numpy path in ``assembly.sim_stack_to_nhwc_input``)."""
+    lib = _load_library()
+    if (lib is None or not simulation.flags.c_contiguous
+            or not out.flags.c_contiguous
+            or simulation.dtype != np.float32):
+        return False
+    b, h, w, ch = simulation.shape
+    if ch % total_steps != 0:
+        return False
+    bc = ch // total_steps
+    n_species = (bc - 4) // 4
+    if bc != 4 * n_species + 4:
+        return False
+    pad_l, pad_t, hp, wp = pads
+    if out.shape != (b, hp, wp, total_steps * (bc - 4)):
+        return False
+    out_bf16 = out.dtype != np.float32
+    if out.itemsize != (2 if out_bf16 else 4):
+        return False
+    lib.vg_repack_nhwc(
+        simulation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(b), ctypes.c_int64(h), ctypes.c_int64(w),
+        ctypes.c_int64(total_steps), ctypes.c_int64(n_species),
+        ctypes.c_int64(pad_l), ctypes.c_int64(pad_t),
+        ctypes.c_int64(hp), ctypes.c_int64(wp),
         ctypes.c_void_p(out.ctypes.data), ctypes.c_int(int(out_bf16)),
         ctypes.c_int(n_threads))
     return True

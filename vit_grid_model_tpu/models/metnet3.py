@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -237,6 +239,30 @@ def standardize_pm_channels(x: Array, cfg: MetNet3Config) -> Array:
     return x.at[:, :, idx].set(planes)
 
 
+def standardize_pm_channels_nhwc(x: Array, cfg: MetNet3Config,
+                                 pv: Tuple[int, int, int, int]) -> Array:
+    """``standardize_pm_channels`` for the host-prepared NHWC layout
+    (``cfg.nhwc_input``): x is (B, Hp, Wp, T*C), already zero-padded, PM
+    channels raw.  The padded border must STAY zero (the standard path
+    standardizes before padding), so the standardized value is selected
+    only on (PM fused channel) x (interior pixel) lanes.  Same elementwise
+    ``(x - mean) / std`` as the standard path => bit-identical values on
+    the selected lanes (pinned by tests/test_nhwc_input.py)."""
+    if cfg.normalization_method != "Standard":
+        return x
+    T, C = cfg.window_size, cfg.n_variables
+    chan = np.zeros((T * C,), bool)
+    for t in range(T):
+        for c in cfg.pm25_channel_indices:
+            chan[t * C + c] = True
+    l, r, tp, bp = pv
+    hp, wp = x.shape[1], x.shape[2]
+    interior = np.zeros((hp, wp), bool)
+    interior[tp:hp - bp, l:wp - r] = True
+    mask = jnp.asarray(interior[:, :, None] & chan[None, None, :])
+    return jnp.where(mask, (x - cfg.pm25_mean) / cfg.pm25_std, x)
+
+
 def _condition_time(params, cfg: MetNet3Config, target_time: Array,
                     bl: int) -> Array:
     """Build the 5 constant conditioning channels per (sample, lead), with the
@@ -337,7 +363,10 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
 
     x:          (B, T, C, H, W) float — the CMAQ stack (T = window_size,
                 C = n_variables), matching the reference eval contract
-                (``evaluation_vit.py:248-250``).
+                (``evaluation_vit.py:248-250``).  With ``cfg.nhwc_input``:
+                (B, Hp, Wp, T*C) instead — host-prepared device layout
+                (channels-last, zero-padded, compute dtype, PM raw; see
+                ``data/assembly.py::sim_stack_to_nhwc_input``).
     timestamps: (B, T', 4) raw (year, month, day, hour) rows; row 6 is used
                 (quirk #10).
     Returns (B, L, H, W) PM2.5 fields (de-standardized).
@@ -348,7 +377,7 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
     "input" is everything before the first conv: standardize + the
     (B,T,C,H,W)→NHWC relayout + pad + compute-dtype cast.
     """
-    B, T, C, H, Wd = x.shape
+    B = x.shape[0]
     L = cfg.end_lead_time
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
@@ -365,14 +394,31 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
                     if hasattr(a, "dtype") and a.dtype == jnp.float32 else a)
         params = jax.tree_util.tree_map_with_path(_cast, params)
 
-    x = standardize_pm_channels(x, cfg)
-
     lead_times = jnp.tile(jnp.arange(1, L + 1), B)                 # (BL,)
     cond = vnn.embedding(params["condition_lead_time"], lead_times)
 
-    # NHWC with fused (T*C) channel axis, padded (no lead repeat yet)
-    x = x.reshape(B, T * C, H, Wd).transpose(0, 2, 3, 1)
-    x, pv = pad_hw(x, cfg.pad_multiple)
+    if cfg.nhwc_input:
+        # host-prepared device layout: (B, Hp, Wp, T*C) channels-last,
+        # zero-padded to pad_multiple, compute dtype, PM channels raw
+        # (data/assembly.py::sim_stack_to_nhwc_input) — skips the 8 ms
+        # on-chip (B,T,C,H,W)->NHWC relayout (docs/RESULTS.md roofline)
+        if cfg.stn_img_channel is not None:
+            raise NotImplementedError("nhwc_input with stn_img_channel")
+        H, Wd = cfg.input_height, cfg.input_width
+        l_, r_, t_, b_ = pad_values(H, Wd, cfg.pad_multiple)
+        pv = (l_, r_, t_, b_)
+        expect = (cfg.input_height + t_ + b_, cfg.input_width + l_ + r_,
+                  cfg.window_size * cfg.n_variables)
+        if tuple(x.shape[1:]) != expect:
+            raise ValueError(f"nhwc_input expects (B,{expect[0]},{expect[1]},"
+                             f"{expect[2]}), got {x.shape}")
+        x = standardize_pm_channels_nhwc(x.astype(dtype), cfg, pv)
+    else:
+        _, T, C, H, Wd = x.shape
+        x = standardize_pm_channels(x, cfg)
+        # NHWC with fused (T*C) channel axis, padded (no lead repeat yet)
+        x = x.reshape(B, T * C, H, Wd).transpose(0, 2, 3, 1)
+        x, pv = pad_hw(x, cfg.pad_multiple)
     Hp, Wp = x.shape[1], x.shape[2]
 
     time_feats = None
