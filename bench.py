@@ -46,7 +46,8 @@ def model_cost(cfg, B, precision):
 
     from vit_grid_model_tpu.models.metnet3 import metnet3_apply, metnet3_init
 
-    cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False)
+    cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False,
+                                  nhwc_input=False)
 
     # the axon backend returns no cost model from lower(); the HLO flop
     # count is backend-independent, so lower on the CPU backend instead —
@@ -125,6 +126,14 @@ def main():
     ap.add_argument("--pallas", action="store_true", default=True,
                     help="fused Pallas window attention (default on)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    ap.add_argument("--nhwc", action="store_true", default=True,
+                    help="stage the input host-prepared in the device "
+                         "layout (cfg.nhwc_input; what the production "
+                         "fast-mode staging does) — skips the 8ms on-chip "
+                         "(B,T,C,H,W)->NHWC relayout; bit-exact vs the "
+                         "compute-dtype-staged standard path "
+                         "(tests/test_nhwc_input.py).  bf16 only.")
+    ap.add_argument("--no-nhwc", dest="nhwc", action="store_false")
     ap.add_argument("--measure-torch", action="store_true")
     args = ap.parse_args()
 
@@ -140,6 +149,7 @@ def main():
 
     int8 = args.dtype == "int8"
     compute_dtype = "bfloat16" if int8 else args.dtype
+    nhwc = args.nhwc and compute_dtype == "bfloat16" and not int8
     cfg = MetNet3Config(
         window_size=25, n_variables=24, n_start_channels=128,
         end_lead_time=12, pm25_mean=22.5, pm25_std=15.5,
@@ -150,6 +160,24 @@ def main():
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (B, 25, 24, 82, 67)) * 50.0
     ts = jnp.tile(jnp.asarray([2023.0, 1.0, 15.0, 6.0]), (B, 25, 1))
+    if nhwc:
+        # host-prepared device layout, exactly what production fast-mode
+        # staging emits (data/assembly.py::sim_stack_to_nhwc_input): the
+        # same bf16-rounded values, channels-last, zero-padded.  Bit-exact
+        # vs the bf16-staged (B,T,C,H,W) path — tests/test_nhwc_input.py.
+        import dataclasses
+
+        import numpy as np
+
+        from vit_grid_model_tpu.models.metnet3 import pad_values
+        cfg = dataclasses.replace(cfg, nhwc_input=True)
+        H, W = cfg.input_height, cfg.input_width
+        le, ri, to, bo = pad_values(H, W, cfg.pad_multiple)
+        xp = np.zeros((B, H + to + bo, W + le + ri, 25 * 24), np.float32)
+        xp[:, to:to + H, le:le + W] = (
+            np.asarray(x, np.float32).reshape(B, 25 * 24, H, W)
+            .transpose(0, 2, 3, 1))
+        x = jnp.asarray(xp, jnp.bfloat16)
 
     int8_rmse_delta = None
     if int8:

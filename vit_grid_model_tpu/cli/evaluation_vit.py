@@ -58,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--fast", action="store_true",
                    help="throughput mode: bf16 + fused stem + Pallas "
-                        "attention (not for checkpoint-parity scoring)")
+                        "attention + host-prepared NHWC input staging "
+                        "(not for checkpoint-parity scoring)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="logs")
@@ -141,9 +142,15 @@ def build_configs(args):
     model_cfg = MetNet3Config(
         window_size=args.input_dim + args.output_dim, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
+        input_height=data_cfg.grid.height, input_width=data_cfg.grid.width,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, fuse_lead_stem=args.fast,
-        use_pallas_attention=args.fast and on_tpu)
+        use_pallas_attention=args.fast and on_tpu,
+        # fast mode stages the input host-prepared in the device layout:
+        # the assembler's stack is already channels-last, so this skips
+        # the 8ms on-chip (B,T,C,H,W)->NHWC relayout with BIT-EXACT
+        # results vs the bf16-staged standard path (tests/test_nhwc_input.py)
+        nhwc_input=args.fast)
     return data_cfg, model_cfg, test_start, test_end
 
 

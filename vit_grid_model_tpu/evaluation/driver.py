@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+from vit_grid_model_tpu.data.assembly import (sim_stack_to_model_input,
+                                              sim_stack_to_nhwc_input)
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetOnly
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.readers import _read_netcdf_var
@@ -256,11 +257,18 @@ def evaluate(params, model_cfg: MetNet3Config, data_cfg: DataConfig, *,
         padded sample ever perturbs real predictions via quirk #11)."""
         simulation, _, _, _, raw_times, _ = batch
         B = simulation.shape[0]
-        sim_vit = sim_stack_to_model_input(
-            simulation, data_cfg.total_steps,
-            out_dtype=(jnp.bfloat16
-                       if model_cfg.compute_dtype == "bfloat16"
-                       else np.float32))
+        out_dtype = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
+                     else np.float32)
+        if model_cfg.nhwc_input:
+            # host-prepared device layout: no axis permutation on host OR
+            # device (the 8ms on-chip relayout disappears; bit-exact vs
+            # the standard staging, tests/test_nhwc_input.py)
+            sim_vit = sim_stack_to_nhwc_input(
+                simulation, data_cfg.total_steps, model_cfg.pad_multiple,
+                out_dtype)
+        else:
+            sim_vit = sim_stack_to_model_input(
+                simulation, data_cfg.total_steps, out_dtype=out_dtype)
         ragged = B % n_data != 0
         use_tail = tail_fwd is not None and ragged
         if use_tail:

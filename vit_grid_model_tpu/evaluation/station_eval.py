@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from vit_grid_model_tpu.core.config import DataConfig, MetNet3Config
-from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+from vit_grid_model_tpu.data.assembly import (sim_stack_to_model_input,
+                                              sim_stack_to_nhwc_input)
 from vit_grid_model_tpu.data.datasets import AirSimulationReanalysisDatasetByStn
 from vit_grid_model_tpu.data.pipeline import BatchLoader
 from vit_grid_model_tpu.data.timeutil import eval_time_list
@@ -161,11 +162,15 @@ def evaluate_by_station(params, model_cfg: MetNet3Config,
         (_, _, sim, _, _, _, raw_times, _, stn_vals, stn_mask,
          stn_cls) = batch
         B = sim.shape[0]
-        x = sim_stack_to_model_input(
-            sim, data_cfg.total_steps,
-            out_dtype=(jnp.bfloat16
-                       if model_cfg.compute_dtype == "bfloat16"
-                       else np.float32))
+        out_dtype = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
+                     else np.float32)
+        if model_cfg.nhwc_input:
+            # host-prepared device layout (see evaluation/driver.py)
+            x = sim_stack_to_nhwc_input(sim, data_cfg.total_steps,
+                                        model_cfg.pad_multiple, out_dtype)
+        else:
+            x = sim_stack_to_model_input(sim, data_cfg.total_steps,
+                                         out_dtype=out_dtype)
         if tail_fwd is not None and B % n_data != 0:
             # ragged final batch, shard_mapped-Pallas path: single-device
             # at true size (see evaluation/driver.py)
