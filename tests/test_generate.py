@@ -68,6 +68,33 @@ def test_generate_sharded_matches_single(tree, tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
 
 
+def test_generate_nhwc_matches_standard_bf16(tree, tmp_path):
+    """bf16 generation with host-prepared NHWC staging writes fields
+    BIT-IDENTICAL to the standard bf16-staged path (the CLI enables
+    nhwc_input whenever compute_dtype is bfloat16)."""
+    import dataclasses
+
+    data_cfg, model_cfg = _cfgs(tree)
+    model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16",
+                                    fuse_lead_stem=True)
+    params = metnet3_init(jax.random.PRNGKey(0), model_cfg)
+    start, end = datetime(2023, 3, 1, 0), datetime(2023, 3, 1, 12)
+
+    out1 = tmp_path / "std_bf16"
+    n1 = generate_reanalysis(params, model_cfg, data_cfg, start=start,
+                             end=end, out_dir=str(out1), batch_size=4,
+                             mesh=None, progress=False)
+    out2 = tmp_path / "nhwc_bf16"
+    n2 = generate_reanalysis(
+        params, dataclasses.replace(model_cfg, nhwc_input=True), data_cfg,
+        start=start, end=end, out_dir=str(out2), batch_size=4,
+        mesh=None, progress=False)
+    assert n2 == n1 > 0
+    for f in sorted(os.listdir(out1)):
+        np.testing.assert_array_equal(np.load(out1 / f), np.load(out2 / f),
+                                      err_msg=f)
+
+
 def test_generate_cli_subset_mesh(tree, tmp_path):
     """Review fix: a positive --data_parallel k smaller than the device
     count must build a k-device subset mesh (it used to crash make_mesh's

@@ -49,9 +49,13 @@ def main(argv=None) -> None:
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
+        input_height=data_cfg.grid.height, input_width=data_cfg.grid.width,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, fuse_lead_stem=True,
-        use_pallas_attention=args.pallas)
+        use_pallas_attention=args.pallas,
+        # bf16 generation stages host-prepared in the device layout —
+        # bit-exact vs bf16 staging (tests/test_nhwc_input.py)
+        nhwc_input=args.compute_dtype == "bfloat16")
     # shared --data_parallel contract; sets the ambient mesh +
     # pallas_shard_axis when the Pallas kernels meet a >1-device mesh
     mesh, model_cfg = meshlib.mesh_for_cli(args.data_parallel, model_cfg,

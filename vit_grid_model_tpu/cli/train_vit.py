@@ -113,13 +113,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
                          shuffle_mode="samples", x_dtype=np.float32,
-                         shuffle_buffer=8):
+                         shuffle_buffer=8, nhwc=False, pad_multiple=14):
     """Adapt v3 dataset samples into train-step batches, looping epochs.
 
     ``x_dtype=bfloat16`` fuses the host-side compute-dtype cast into the
     (native) model-input repack — the step casts on device anyway, so
-    half-size host buffers halve the dominant host->HBM transfer."""
-    from vit_grid_model_tpu.data.assembly import sim_stack_to_model_input
+    half-size host buffers halve the dominant host->HBM transfer.
+    ``nhwc``: stage host-prepared in the device layout instead
+    (``MetNet3Config.nhwc_input``; bit-exact, tests/test_nhwc_input.py)."""
+    from vit_grid_model_tpu.data.assembly import (sim_stack_to_model_input,
+                                                  sim_stack_to_nhwc_input)
     from vit_grid_model_tpu.data.pipeline import BatchLoader
 
     shuffle = (shuffle_mode if shuffle_mode in ("batches", "buffer")
@@ -130,9 +133,13 @@ def batches_from_dataset(dataset, data_cfg, batch_size, num_workers, seed,
     while True:
         for (feats, masks, sim, curr, reanalysis, cls, raw_times,
              prev) in loader:
+            x = (sim_stack_to_nhwc_input(sim, data_cfg.total_steps,
+                                         pad_multiple, x_dtype)
+                 if nhwc else
+                 sim_stack_to_model_input(sim, data_cfg.total_steps,
+                                          out_dtype=x_dtype))
             yield {
-                "x": sim_stack_to_model_input(sim, data_cfg.total_steps,
-                                              out_dtype=x_dtype),
+                "x": x,
                 "timestamps": raw_times,
                 "targets": reanalysis,
             }
@@ -193,11 +200,15 @@ def main(argv=None) -> None:
     model_cfg = MetNet3Config(
         window_size=data_cfg.total_steps, n_variables=24,
         n_start_channels=args.hidden_dim, end_lead_time=args.output_dim,
+        input_height=data_cfg.grid.height, input_width=data_cfg.grid.width,
         pm25_mean=feat_infos["PM2.5"][0], pm25_std=feat_infos["PM2.5"][1],
         compute_dtype=args.compute_dtype, dropout=args.dropout,
         fuse_lead_stem=args.fuse_lead_stem,
         use_pallas_attention=args.use_pallas_attention,
-        use_pallas_attention_bwd=args.use_pallas_attention_bwd)
+        use_pallas_attention_bwd=args.use_pallas_attention_bwd,
+        # fast mode stages host-prepared in the device layout — deletes the
+        # on-chip input relayout, bit-exact (tests/test_nhwc_input.py)
+        nhwc_input=args.fast)
     train_cfg = TrainConfig(
         learning_rate=args.lr, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, total_steps=args.steps,
@@ -262,7 +273,8 @@ def main(argv=None) -> None:
         # (metnet3_apply); casting on host — fused into the native repack —
         # halves the host->device bytes of the dominant batch member
         x_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                 else np.float32))
+                 else np.float32),
+        nhwc=model_cfg.nhwc_input, pad_multiple=model_cfg.pad_multiple)
     # overlap host->HBM transfer with the previous step's compute
     from vit_grid_model_tpu.data.pipeline import device_prefetch
 

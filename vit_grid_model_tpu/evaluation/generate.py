@@ -74,14 +74,27 @@ def generate_reanalysis(params, model_cfg: MetNet3Config,
 
     def prepare(batch):
         simulation, _, _, _, raw_times, _ = batch
-        x = sim_stack_to_model_input(simulation, data_cfg.total_steps)
+        if model_cfg.nhwc_input:
+            # host-prepared device layout (see evaluation/driver.py):
+            # padded + compute-dtype already, no further host cast needed
+            import jax.numpy as _jnp
+
+            from vit_grid_model_tpu.data.assembly import \
+                sim_stack_to_nhwc_input
+            x = sim_stack_to_nhwc_input(
+                simulation, data_cfg.total_steps, model_cfg.pad_multiple,
+                _jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
+                else np.float32)
+        else:
+            x = sim_stack_to_model_input(simulation, data_cfg.total_steps)
         # Always pad to the full batch size: one compiled shape, and — a
         # faithful reference quirk — the dim-0 time-embedding concat
         # (``metnet3.py:395-401``) mixes embeddings ACROSS batch members,
         # so outputs are only reproducible under a fixed batch composition.
         (x, raw_times), real = meshlib.pad_to_multiple((x, raw_times),
                                                         batch_size)
-        x = host_stage_dtype(x, model_cfg.compute_dtype)
+        if not model_cfg.nhwc_input:
+            x = host_stage_dtype(x, model_cfg.compute_dtype)
         if mesh is not None:
             return (jax.device_put(jnp.asarray(x), bsh),
                     jax.device_put(jnp.asarray(raw_times), bsh), real)
