@@ -38,7 +38,8 @@ LABELS = ("input_prep", "stem+pool", "mbconv", "block_attn", "grid_attn",
 
 def prefix_flops(cfg: MetNet3Config, B: int) -> dict:
     """HLO flop count of each prefix, CPU-lowered with Pallas off."""
-    cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False)
+    cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False,
+                                  nhwc_input=False)
     flops = {}
     with jax.default_device(jax.devices("cpu")[0]):
         params = jax.eval_shape(
@@ -59,17 +60,33 @@ def main():
     ap.add_argument("--batch", type=int, default=32)   # bench.py geometry
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--fold-bn", action="store_true")
+    ap.add_argument("--nhwc", action="store_true",
+                    help="host-prepared NHWC staging (the shipping fast "
+                         "config, bench.py default): input_prep then "
+                         "measures only the interior-masked standardize")
     args = ap.parse_args()
 
     cfg = MetNet3Config(
         window_size=25, n_variables=24, n_start_channels=128,
         end_lead_time=12, pm25_mean=22.5, pm25_std=15.5,
         compute_dtype="bfloat16", fuse_lead_stem=True,
-        use_pallas_attention=True, fold_bn_eval=args.fold_bn)
+        use_pallas_attention=True, fold_bn_eval=args.fold_bn,
+        nhwc_input=args.nhwc)
     B, N = args.batch, args.iters
     params = metnet3_init(jax.random.PRNGKey(0), cfg)
     x = jax.random.uniform(jax.random.PRNGKey(1), (B, 25, 24, 82, 67)) * 50
     ts = jnp.tile(jnp.asarray([2023., 1., 15., 6.]), (B, 25, 1))
+    if args.nhwc:
+        import numpy as np
+
+        from vit_grid_model_tpu.models.metnet3 import pad_values
+        H, W = cfg.input_height, cfg.input_width
+        le, ri, to, bo = pad_values(H, W, cfg.pad_multiple)
+        xp = np.zeros((B, H + to + bo, W + le + ri, 25 * 24), np.float32)
+        xp[:, to:to + H, le:le + W] = (
+            np.asarray(x, np.float32).reshape(B, 25 * 24, H, W)
+            .transpose(0, 2, 3, 1))
+        x = jnp.asarray(xp, jnp.bfloat16)
     _ = float(x.sum())       # stage inputs in HBM before timing
 
     def chained(stage):
