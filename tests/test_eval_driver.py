@@ -176,6 +176,50 @@ def test_evaluate_pallas_mesh_ragged_bit_exact(tmp_path):
                                   sharded.stats["model"].confusion)
 
 
+def test_evaluate_full_fast_mesh_matches_single(tmp_path):
+    """The COMPLETE production fast configuration on a mesh — bf16 +
+    fused stem + shard_mapped Pallas attention + host-prepared NHWC
+    staging + ragged tail — must bit-equal the single-device bf16+Pallas
+    run with standard staging (what `--fast --data_parallel k` executes
+    on real multi-chip hardware)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_grid_model_tpu.core.config import MeshConfig
+    from vit_grid_model_tpu.parallel import mesh as meshlib
+
+    data_cfg, model_cfg, end = _small_setup(tmp_path, hours=9)
+    model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16",
+                                    fuse_lead_stem=True,
+                                    use_pallas_attention=True)
+    params = metnet3_init(jax.random.PRNGKey(1), model_cfg)
+    kw = dict(test_start=datetime(2023, 5, 1, 0), test_end=end,
+              batch_size=4, log_dir=str(tmp_path / "logs"), progress=False)
+
+    with pltpu.force_tpu_interpret_mode():
+        single = driver.evaluate(params, model_cfg, data_cfg,
+                                 model_name="ff_single", **kw)
+
+    mesh = meshlib.make_mesh(MeshConfig(data=4, model=1),
+                             devices=jax.devices()[:4])
+    cfg_sh = dataclasses.replace(model_cfg, pallas_shard_axis="data",
+                                 nhwc_input=True)
+    with jax.set_mesh(mesh):
+        with pltpu.force_tpu_interpret_mode():
+            sharded = driver.evaluate(params, cfg_sh, data_cfg,
+                                      model_name="ff_sharded", mesh=mesh,
+                                      **kw)
+
+    s1, s2 = single.summary(), sharded.summary()
+    for name in ("model", "persist", "sim_21h", "sim_avg"):
+        for metric in s1[name]:
+            np.testing.assert_array_equal(s1[name][metric], s2[name][metric],
+                                          err_msg=f"{name}/{metric}")
+    np.testing.assert_array_equal(single.stats["model"].confusion,
+                                  sharded.stats["model"].confusion)
+
+
 def test_evaluate_collects_valid_times_quirk19(tmp_path):
     """Quirk #19 (``evaluation_vit.py:285-289``): encoded YYYYMMDDHH of
     samples whose last input hour is 06, flag-gated."""
