@@ -25,7 +25,7 @@ from vit_grid_model_tpu.core.config import MetNet3Config, TrainConfig
 from vit_grid_model_tpu.models.metnet3 import metnet3_init
 from vit_grid_model_tpu.train.trainer import build_train_step, init_train_state
 
-MODES = ("xla", "pallas_fwd", "pallas_fused_bwd", "fast")
+MODES = ("xla", "pallas_fwd", "pallas_fused_bwd", "fast", "fast_nhwc")
 
 # TPU v5e bf16 peak (bench.py's constant)
 V5E_PEAK_BF16_TFLOPS = 197.0
@@ -71,21 +71,35 @@ def run(batch_size: int, steps: int, warmup: int = 6, modes=MODES):
             (batch_size, 25, 1)),
         "targets": rng.random((batch_size, 12, 82, 67), dtype=np.float32) * 60,
     }
+    # fast_nhwc: the production --fast staging — host-prepared device
+    # layout in bf16 (train CLI), so the step neither relayouts nor casts
+    from vit_grid_model_tpu.models.metnet3 import pad_values
+    le, ri, to, bo = pad_values(82, 67, 14)
+    xp = np.zeros((batch_size, 82 + to + bo, 67 + le + ri, 13 * 24),
+                  np.float32)
+    xp[:, to:to + 82, le:le + 67] = (
+        batch_host["x"].reshape(batch_size, 13 * 24, 82, 67)
+        .transpose(0, 2, 3, 1))
+    batch_nhwc_host = dict(batch_host, x=jnp.asarray(xp, jnp.bfloat16))
+
     results = {}
     for mode in modes:
+        nhwc = mode == "fast_nhwc"
         cfg = MetNet3Config(
             window_size=13, n_variables=24, n_start_channels=128,
             end_lead_time=12, pm25_mean=22.5, pm25_std=15.5, dropout=0.1,
             compute_dtype="bfloat16",
-            fuse_lead_stem=(mode == "fast"),
+            fuse_lead_stem=(mode in ("fast", "fast_nhwc")),
             use_pallas_attention=(mode != "xla"),
-            use_pallas_attention_bwd=(mode in ("pallas_fused_bwd", "fast")))
+            use_pallas_attention_bwd=(
+                mode in ("pallas_fused_bwd", "fast", "fast_nhwc")),
+            nhwc_input=nhwc)
         tc = TrainConfig(learning_rate=1e-4, total_steps=1000,
                          warmup_steps=10, batch_size=batch_size)
         params = metnet3_init(jax.random.PRNGKey(0), cfg)
         state = init_train_state(jax.tree.map(jnp.asarray, params), tc)
         step = build_train_step(cfg, tc)
-        batch = jax.device_put(batch_host)
+        batch = jax.device_put(batch_nhwc_host if nhwc else batch_host)
         jax.block_until_ready(batch)
         _ = float(batch["x"].sum())  # force the upload through the tunnel
 
@@ -105,7 +119,7 @@ def run(batch_size: int, steps: int, warmup: int = 6, modes=MODES):
     out = {"metric": "train_ms_per_step", "batch": batch_size,
            **{k: round(v, 1) for k, v in results.items()}}
     if "xla" in results:
-        for k in ("pallas_fused_bwd", "fast"):
+        for k in ("pallas_fused_bwd", "fast", "fast_nhwc"):
             if k in results:
                 out[f"{k}_speedup_vs_xla"] = round(results["xla"]
                                                    / results[k], 3)
