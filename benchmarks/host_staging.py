@@ -49,10 +49,19 @@ def main():
                           "native library unavailable"}))
         return
 
+    def nhwc_repack(dtype):
+        # round-4 device-layout staging (MetNet3Config.nhwc_input): a pure
+        # streaming channel-subset copy — no axis permutation at all
+        from vit_grid_model_tpu.data.assembly import sim_stack_to_nhwc_input
+
+        return sim_stack_to_nhwc_input(sim, t, 14, dtype)
+
     cases = [("native_f32", native_repack, np.float32),
              ("native_bf16_fused", native_repack, jnp.bfloat16),
              ("numpy_f32", numpy_repack, np.float32),
-             ("numpy_two_step_bf16", numpy_repack, jnp.bfloat16)]
+             ("numpy_two_step_bf16", numpy_repack, jnp.bfloat16),
+             ("nhwc_f32", nhwc_repack, np.float32),
+             ("nhwc_bf16_fused", nhwc_repack, jnp.bfloat16)]
     times = {k: [] for k, _, _ in cases}
     for _ in range(2):                          # warm (fault-in) the pool
         for _, fn, dt in cases:
