@@ -379,6 +379,22 @@ def test_output_pool_reuse_and_no_aliasing():
     assert pool.get((2, 2)).shape == (2, 2)   # distinct key, distinct pool
 
 
+def test_output_pool_retention_adapts_to_reservoir():
+    """ensure_retention raises (never lowers) the per-key cap so the
+    shuffle-buffer reservoir's working set survives the epoch drain
+    instead of re-allocating (and re-faulting) every epoch."""
+    from vit_grid_model_tpu.data.bufferpool import BufferPool
+
+    pool = BufferPool(max_per_key=2)
+    pool.ensure_retention(5)
+    pool.ensure_retention(3)                  # never lowers
+    held = [pool.get((2, 2)) for _ in range(5)]
+    addrs = {b.ctypes.data for b in held}
+    del held                                  # all 5 retained (cap 5 now)
+    got = [pool.get((2, 2)) for _ in range(5)]   # hold while drawing
+    assert {b.ctypes.data for b in got} == addrs
+
+
 @pytest.mark.skipif(not native.available(),
                     reason="native library unavailable (no g++?)")
 def test_repack_model_input_native_parity():

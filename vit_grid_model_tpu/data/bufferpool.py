@@ -40,6 +40,19 @@ class BufferPool:
         self._lock = threading.Lock()
         self._bufs: Dict[tuple, list] = {}
 
+    def ensure_retention(self, n: int) -> None:
+        """Raise (never lower) the per-key retention cap to ``n``.
+
+        Called by consumers whose steady-state working set exceeds the
+        default — e.g. the shuffle="buffer" reservoir pins ~shuffle_buffer
+        source batches, and a cap BELOW that working set guarantees churn:
+        every epoch drain releases reservoir-many buffers, the over-cap
+        excess is dropped, and the next epoch re-allocates them fresh,
+        re-paying the first-touch page-fault storm per epoch.  Retention
+        still only grows to actual demand (nothing is pre-allocated)."""
+        with self._lock:
+            self._max = max(self._max, n)
+
     def get(self, shape, dtype=np.float32) -> np.ndarray:
         """An idle (already-faulted) array of ``shape``/``dtype``, else a
         fresh allocation.  Contents are UNINITIALIZED — callers must write

@@ -133,6 +133,11 @@ class BatchLoader:
         """
         from vit_grid_model_tpu.data.bufferpool import POOL
 
+        # the reservoir pins ~shuffle_buffer source batches; retention
+        # below that working set re-pays the first-touch fault storm every
+        # epoch (the drain releases them all, an undersized cap drops the
+        # excess, the refill allocates fresh) — bufferpool.ensure_retention
+        POOL.ensure_retention(self.shuffle_buffer + 4)
         rng = np.random.default_rng(self.seed * 7919 + self._epoch)
         cap = self.shuffle_buffer * self.batch_size
         entries: list = []                       # (batch_tuple, row)
