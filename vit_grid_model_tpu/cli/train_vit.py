@@ -83,10 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "AND mixes batch composition through a "
                         "--shuffle_buffer-batch reservoir (tf.data-style "
                         "local shuffle): reservoir=8 is 1.32x flagship "
-                        "wall-clock for +0.034 held-out RMSE; reservoir=64 "
-                        "matches sample-level accuracy but loses the "
-                        "throughput edge to epoch refills (measured curve: "
-                        "docs/RESULTS.md shuffle-mode A/B)")
+                        "wall-clock for +0.034 held-out RMSE; reservoir>=16 "
+                        "matches sample-level accuracy (four-point flagship "
+                        "A/B: docs/RESULTS.md)")
     p.add_argument("--shuffle_buffer", type=int, default=8,
                    help="reservoir size in batches for "
                         "--shuffle_mode buffer")
