@@ -12,6 +12,10 @@ def test_is_oom_error_classification():
     assert is_oom_error(ValueError("XLA: Out of memory allocating buffer"))
     assert not is_oom_error(ValueError("shape mismatch"))
     assert not is_oom_error(KeyboardInterrupt())
+    # non-XLA errors that merely mention memory must NOT be classified
+    # (advisor r4: a loader IOError would be rewrapped as an HBM failure)
+    assert not is_oom_error(IOError("mmap failed: out of memory"))
+    assert not is_oom_error(RuntimeError("Attempting to reserve a worker"))
 
 
 def test_oom_guard_rewraps_with_context():

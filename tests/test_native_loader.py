@@ -386,13 +386,24 @@ def test_output_pool_retention_adapts_to_reservoir():
     from vit_grid_model_tpu.data.bufferpool import BufferPool
 
     pool = BufferPool(max_per_key=2)
-    pool.ensure_retention(5)
-    pool.ensure_retention(3)                  # never lowers
+    key = pool.key((2, 2))
+    pool.ensure_retention(5, key)
+    pool.ensure_retention(3, key)             # never lowers
     held = [pool.get((2, 2)) for _ in range(5)]
     addrs = {b.ctypes.data for b in held}
     del held                                  # all 5 retained (cap 5 now)
     got = [pool.get((2, 2)) for _ in range(5)]   # hold while drawing
     assert {b.ctypes.data for b in got} == addrs
+    # the elevated cap is scoped to ITS key (advisor r4): an unrelated
+    # shape still retains only the default 2
+    other = [pool.get((3, 3)) for _ in range(5)]
+    other_addrs = [b.ctypes.data for b in other]
+    del other
+    kept = {b.ctypes.data for b in [pool.get((3, 3)) for _ in range(2)]}
+    assert kept <= set(other_addrs) and len(kept) == 2
+    # global raise still works and never lowers per-key overrides
+    pool.ensure_retention(4)
+    assert pool.get((2, 2)).shape == (2, 2)
 
 
 @pytest.mark.skipif(not native.available(),

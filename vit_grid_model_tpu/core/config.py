@@ -113,7 +113,8 @@ class MetNet3Config:
     # host assembler emit this layout directly (its native stack is
     # already channels-last; ``data/assembly.py::sim_stack_to_nhwc_input``).
     # Bit-exact vs the bf16-staged (B,T,C,H,W) path (tests/test_nhwc_input.py).
-    # Not supported together with stn_img_channel.
+    # Covers every variant incl. stn_img_channel (the station-image channel
+    # rides the fused T*C axis; host side: assembly.model_input_to_nhwc).
     nhwc_input: bool = False
     # Inference only: run the resnet1/resnet2 3x3 convs through int8
     # (per-output-channel weights, static calibrated per-tensor activation

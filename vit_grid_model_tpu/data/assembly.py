@@ -202,6 +202,34 @@ def sim_stack_to_nhwc_input(simulation: np.ndarray, total_steps: int,
     return out
 
 
+def model_input_to_nhwc(x: np.ndarray, pad_multiple: int = 14,
+                        out_dtype=np.float32) -> np.ndarray:
+    """(B, T, C, H, W) reference-contract model input -> the model's
+    ``nhwc_input`` staging layout (B, Hp, Wp, T*C), zero-padded centered
+    like ``sim_stack_to_nhwc_input`` (same split as
+    ``models.metnet3.pad_values``).
+
+    Generic over C, so it also stages the ``MetNet3_with_stn_imgs``
+    variant's 25-channel input (station-image channel 24,
+    ``metnet3.py:701``), which ``sim_stack_to_nhwc_input`` — staging
+    straight from the channels-last CMAQ stack — cannot carry.  Unlike
+    that fast path this one pays a host transpose (the source is already
+    channel-major), but it still removes the on-chip relayout and keeps
+    the padded border exactly zero."""
+    from vit_grid_model_tpu.data.bufferpool import POOL
+
+    b, t, c, h, w = x.shape
+    pad_h = (pad_multiple - h) % pad_multiple
+    pad_w = (pad_multiple - w) % pad_multiple
+    left, top = pad_w // 2, pad_h // 2
+    hp, wp = h + pad_h, w + pad_w
+    out = POOL.get((b, hp, wp, t * c), out_dtype)
+    out[:] = 0
+    out[:, top:top + h, left:left + w] = (
+        x.reshape(b, t * c, h, w).transpose(0, 2, 3, 1))
+    return out
+
+
 def host_stage_dtype(x: np.ndarray, compute_dtype: str) -> np.ndarray:
     """Cast a model input to the compute dtype on the HOST when it is
     bf16: the device would cast it anyway (same round-to-nearest), and

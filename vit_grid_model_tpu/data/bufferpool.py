@@ -39,9 +39,17 @@ class BufferPool:
         self._max = max_per_key
         self._lock = threading.Lock()
         self._bufs: Dict[tuple, list] = {}
+        self._max_overrides: Dict[tuple, int] = {}
 
-    def ensure_retention(self, n: int) -> None:
-        """Raise (never lower) the per-key retention cap to ``n``.
+    @staticmethod
+    def key(shape, dtype=np.float32) -> tuple:
+        """The pool key for a (shape, dtype) — the unit retention caps
+        apply to."""
+        return (tuple(int(s) for s in shape), str(np.dtype(dtype)))
+
+    def ensure_retention(self, n: int, key: tuple | None = None) -> None:
+        """Raise (never lower) the retention cap to ``n`` — for one pool
+        ``key`` (from :meth:`key`) when given, else for every key.
 
         Called by consumers whose steady-state working set exceeds the
         default — e.g. the shuffle="buffer" reservoir pins ~shuffle_buffer
@@ -49,15 +57,22 @@ class BufferPool:
         every epoch drain releases reservoir-many buffers, the over-cap
         excess is dropped, and the next epoch re-allocates them fresh,
         re-paying the first-touch page-fault storm per epoch.  Retention
-        still only grows to actual demand (nothing is pre-allocated)."""
+        still only grows to actual demand (nothing is pre-allocated).
+        Callers that know their shapes pass ``key`` so an elevated cap
+        doesn't leak to unrelated buffer shapes for process lifetime
+        (advisor r4)."""
         with self._lock:
-            self._max = max(self._max, n)
+            if key is None:
+                self._max = max(self._max, n)
+            else:
+                self._max_overrides[key] = max(
+                    self._max_overrides.get(key, 0), n)
 
     def get(self, shape, dtype=np.float32) -> np.ndarray:
         """An idle (already-faulted) array of ``shape``/``dtype``, else a
         fresh allocation.  Contents are UNINITIALIZED — callers must write
         every byte, exactly as with ``np.empty``."""
-        key = (tuple(int(s) for s in shape), str(np.dtype(dtype)))
+        key = self.key(shape, dtype)
         with self._lock:
             bufs = self._bufs.setdefault(key, [])
             for arr in bufs:
@@ -67,7 +82,8 @@ class BufferPool:
                 if sys.getrefcount(arr) == 3:
                     return arr
             arr = np.empty(key[0], np.dtype(dtype))
-            if len(bufs) < self._max:
+            cap = max(self._max, self._max_overrides.get(key, 0))
+            if len(bufs) < cap:
                 bufs.append(arr)
             return arr
 

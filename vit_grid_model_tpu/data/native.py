@@ -202,6 +202,19 @@ def assemble_batch_native(times_kst: Sequence[datetime], n_samples: int,
     return out, pm25
 
 
+def _bf16_out(out: np.ndarray):
+    """Classify the native repack output buffer by dtype NAME: True for
+    bfloat16, False for float32, None for anything else (e.g. float16,
+    whose 2-byte itemsize previously masqueraded as bf16 and would have
+    been silently filled with bf16 bit patterns — advisor r4)."""
+    name = str(out.dtype)
+    if name == "float32":
+        return False
+    if name == "bfloat16":
+        return True
+    return None
+
+
 def repack_model_input_native(simulation: np.ndarray, total_steps: int,
                               out: np.ndarray,
                               n_threads: int = DEFAULT_THREADS) -> bool:
@@ -222,8 +235,8 @@ def repack_model_input_native(simulation: np.ndarray, total_steps: int,
     n_species = (bc - 4) // 4
     if bc != 4 * n_species + 4:
         return False
-    out_bf16 = out.dtype != np.float32
-    if out.itemsize != (2 if out_bf16 else 4):
+    out_bf16 = _bf16_out(out)
+    if out_bf16 is None:
         return False
     lib.vg_repack_model_input(
         simulation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -258,8 +271,8 @@ def repack_nhwc_native(simulation: np.ndarray, total_steps: int,
     pad_l, pad_t, hp, wp = pads
     if out.shape != (b, hp, wp, total_steps * (bc - 4)):
         return False
-    out_bf16 = out.dtype != np.float32
-    if out.itemsize != (2 if out_bf16 else 4):
+    out_bf16 = _bf16_out(out)
+    if out_bf16 is None:
         return False
     lib.vg_repack_nhwc(
         simulation.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -136,9 +136,25 @@ class BatchLoader:
         # the reservoir pins ~shuffle_buffer source batches; retention
         # below that working set re-pays the first-touch fault storm every
         # epoch (the drain releases them all, an undersized cap drops the
-        # excess, the refill allocates fresh) — bufferpool.ensure_retention
-        POOL.ensure_retention(self.shuffle_buffer + 4)
-        rng = np.random.default_rng(self.seed * 7919 + self._epoch)
+        # excess, the refill allocates fresh).  The cap is raised PER KEY,
+        # for exactly the field shapes the reservoir handles (advisor r4:
+        # a global raise leaked the elevated cap to every pool key for
+        # process lifetime).
+        keyed: set = set()
+
+        def ensure_keys(fields, lead_n):
+            for f in fields:
+                a = np.asarray(f)
+                k = POOL.key((lead_n,) + a.shape[1:], a.dtype)
+                if k not in keyed:
+                    keyed.add(k)
+                    POOL.ensure_retention(self.shuffle_buffer + 4, k)
+        # distinct stream from _batch_indices' default_rng(seed + epoch) for
+        # EVERY seed (advisor r4: the old seed*7919 + epoch collided at
+        # seed=0, correlating chunk order with reservoir draws) — the
+        # SeedSequence key carries a stream tag
+        rng = np.random.default_rng(
+            np.random.SeedSequence((self.seed, self._epoch, 0x5E5E)))
         cap = self.shuffle_buffer * self.batch_size
         entries: list = []                       # (batch_tuple, row)
 
@@ -147,6 +163,7 @@ class BatchLoader:
             chosen = [entries[t] for t in pick]
             for t in sorted(pick, reverse=True):
                 entries.pop(t)
+            ensure_keys(chosen[0][0], n)
             fields = []
             for f_idx in range(len(chosen[0][0])):
                 proto = np.asarray(chosen[0][0][f_idx])
@@ -157,7 +174,9 @@ class BatchLoader:
             return tuple(fields)
 
         for batch in stream:
-            for i in range(np.asarray(batch[0]).shape[0]):
+            src_n = np.asarray(batch[0]).shape[0]
+            ensure_keys(batch, src_n)
+            for i in range(src_n):
                 entries.append((batch, i))
             while len(entries) >= cap:
                 yield emit(self.batch_size)

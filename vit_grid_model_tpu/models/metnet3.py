@@ -251,16 +251,24 @@ def standardize_pm_channels_nhwc(x: Array, cfg: MetNet3Config,
     if cfg.normalization_method != "Standard":
         return x
     T, C = cfg.window_size, cfg.n_variables
-    chan = np.zeros((T * C,), bool)
-    for t in range(T):
-        for c in cfg.pm25_channel_indices:
-            chan[t * C + c] = True
+    idx = list(cfg.pm25_channel_indices)
+    if cfg.stn_img_channel is not None:
+        idx.append(cfg.stn_img_channel)          # ``metnet3.py:701``
     l, r, tp, bp = pv
     hp, wp = x.shape[1], x.shape[2]
-    interior = np.zeros((hp, wp), bool)
-    interior[tp:hp - bp, l:wp - r] = True
-    mask = jnp.asarray(interior[:, :, None] & chan[None, None, :])
-    return jnp.where(mask, (x - cfg.pm25_mean) / cfg.pm25_std, x)
+    # mask built ON DEVICE from iota comparisons so it fuses into the
+    # elementwise select (advisor r4: the previous host-built bool array
+    # baked a ~3.5 MB constant into every compiled executable at flagship
+    # geometry)
+    shape = (hp, wp, T * C)
+    hh = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ww = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, shape, 2) % C
+    interior = (hh >= tp) & (hh < hp - bp) & (ww >= l) & (ww < wp - r)
+    chan = cc == idx[0]
+    for c in idx[1:]:
+        chan = chan | (cc == c)
+    return jnp.where(interior & chan, (x - cfg.pm25_mean) / cfg.pm25_std, x)
 
 
 def _condition_time(params, cfg: MetNet3Config, target_time: Array,
@@ -402,8 +410,6 @@ def metnet3_apply(params, x: Array, timestamps: Array, cfg: MetNet3Config, *,
         # zero-padded to pad_multiple, compute dtype, PM channels raw
         # (data/assembly.py::sim_stack_to_nhwc_input) — skips the 8 ms
         # on-chip (B,T,C,H,W)->NHWC relayout (docs/RESULTS.md roofline)
-        if cfg.stn_img_channel is not None:
-            raise NotImplementedError("nhwc_input with stn_img_channel")
         H, Wd = cfg.input_height, cfg.input_width
         l_, r_, t_, b_ = pad_values(H, Wd, cfg.pad_multiple)
         pv = (l_, r_, t_, b_)

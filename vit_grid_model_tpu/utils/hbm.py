@@ -14,8 +14,20 @@ import contextlib
 
 
 def is_oom_error(e: BaseException) -> bool:
-    """True when ``e`` is an XLA/TPU out-of-memory failure."""
+    """True when ``e`` is an XLA/TPU out-of-memory failure.
+
+    Classification is gated on the exception COMING FROM XLA — an
+    ``XlaRuntimeError`` (matched by name: the class moved modules across
+    jaxlib versions) or a message carrying an XLA marker — before the
+    memory substrings are consulted.  An unrelated error that merely
+    mentions "out of memory" (advisor r4: e.g. a loader IOError) must not
+    be rewrapped as an HBM-envelope failure.
+    """
     s = str(e)
+    from_xla = (type(e).__name__ == "XlaRuntimeError"
+                or "RESOURCE_EXHAUSTED" in s or "XLA" in s)
+    if not from_xla:
+        return False
     return ("RESOURCE_EXHAUSTED" in s
             or "Out of memory" in s
             or "out of memory" in s
