@@ -284,8 +284,12 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
             "(seed, dropout_rate) pair, not both")
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
-    # bf16 sublane tiles are 16 rows; pad tokens to 16 for either dtype
-    n_pad = _round_up(n, 16)
+    # pad tokens to 8 sublanes (53 -> 56).  Mosaic accepts 8-row-aligned
+    # blocks for bf16 too (masked packing); rounding to the full 16-row
+    # bf16 tile (53 -> 64) costs +31% on every n^2 term and measured 14%
+    # slower at the flagship geometry (9.57 vs 8.20 ms/call,
+    # benchmarks/mosaic_repros/repro_npad_and_kfold.py).
+    n_pad = _round_up(n, 8)
 
     # host-side (jit-traced, fused by XLA) precomputation of small pieces
     gamma, beta, has_film = _prep_gamma_beta(p, cond, x, bw, dim,
@@ -557,7 +561,9 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     bw, n, dim = x.shape
     dim_head = p["q_norm"]["gamma"].shape[-1]
     dim_inner = heads * dim_head
-    n_pad = _round_up(n, 16)
+    # 8-sublane token padding, matching the forward kernel (53 -> 56; the
+    # full bf16 tile rounding measured 14% slower — see the forward impl)
+    n_pad = _round_up(n, 8)
 
     film_vjp = None
     if "film" in p and cond is not None:
