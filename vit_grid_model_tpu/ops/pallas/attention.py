@@ -65,6 +65,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _hash_keep(idx, seed, rate):
+    """lowbias32-style integer hash of a global element index mixed with the
+    scalar seed -> pre-scaled keep value.  Shared by the per-head and the
+    head-pair mask builders so both address schemes produce bit-identical
+    masks for the same (window, head, row, col)."""
+    x = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    # Mosaic has no uint32->f32 cast; after >>8 the top bits are zero, so
+    # a bitcast to int32 is value-preserving and int32->f32 lowers fine
+    u24 = jax.lax.bitcast_convert_type(x >> jnp.uint32(8), jnp.int32)
+    u = u24.astype(jnp.float32) * (2.0 ** -24)
+    return (u >= rate).astype(jnp.float32) / (1.0 - rate)
+
+
 def _keep_mask(seed, pid, h, heads, blk, n_pad, rate):
     """Pre-scaled dropout keep-mask for one head of one program's tile.
 
@@ -83,15 +99,26 @@ def _keep_mask(seed, pid, h, heads, blk, n_pad, rate):
     col = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
     idx = ((win * jnp.uint32(heads) + jnp.uint32(h)) * jnp.uint32(n_pad)
            + row) * jnp.uint32(n_pad) + col
-    x = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> jnp.uint32(16))
-    # Mosaic has no uint32->f32 cast; after >>8 the top bits are zero, so
-    # a bitcast to int32 is value-preserving and int32->f32 lowers fine
-    u24 = jax.lax.bitcast_convert_type(x >> jnp.uint32(8), jnp.int32)
-    u = u24.astype(jnp.float32) * (2.0 ** -24)
-    return (u >= rate).astype(jnp.float32) / (1.0 - rate)
+    return _hash_keep(idx, seed, rate)
+
+
+def _keep_mask_pair(seed, pid, hp, heads, blk, n_pad, rate):
+    """``_keep_mask`` for the head-PAIR packed layout: one (blk, n_pad,
+    2*n_pad) tile whose lanes [0:n_pad] belong to head 2*hp and lanes
+    [n_pad:2*n_pad] to head 2*hp+1.  The global element index is identical
+    to the per-head builder's, so the (per-head) backward kernel
+    regenerates the exact same mask values."""
+    shape = (blk, n_pad, 2 * n_pad)
+    win = (pid * blk).astype(jnp.uint32) + jax.lax.broadcasted_iota(
+        jnp.uint32, shape, 0)
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    hi = (lane >= jnp.uint32(n_pad)).astype(jnp.uint32)
+    head = jnp.uint32(2 * hp) + hi
+    col = lane - hi * jnp.uint32(n_pad)
+    idx = ((win * jnp.uint32(heads) + head) * jnp.uint32(n_pad)
+           + row) * jnp.uint32(n_pad) + col
+    return _hash_keep(idx, seed, rate)
 
 
 # Scoped-VMEM budget for the forward kernel.  Unified at 64MB: the
@@ -102,13 +129,35 @@ def _keep_mask(seed, pid, h, heads, blk, n_pad, rate):
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
+def _lane_mask(shape, lo, hi):
+    """f32 0/1 mask over the lane (last) axis, built from an iota compare —
+    the Mosaic-friendly way to address lane segments (no lane slices)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return ((lane >= lo) & (lane < hi)).astype(jnp.float32)
+
+
 def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
                       wout_ref, bias_ref, *rest, heads: int,
                       dim_head: int, n_pad: int, blk: int,
-                      has_film: bool, dropout_rate: float = 0.0,
+                      has_film: bool, paired: bool = False,
+                      dropout_rate: float = 0.0,
                       emit_mask: bool = False, ln_eps: float = 1e-5,
                       rms_eps: float = 1e-12):
     """One program: BLK windows of (n_pad, dim) tokens.
+
+    With ``paired=True`` (any even head count) adjacent heads are packed
+    side-by-side along the LANE axis: qkv land lane-concatenated straight
+    out of paired weight GEMMs ((dim, 2*dim_head) slices), K/V become
+    block-diagonal via lane masks + a sublane concat, and every n^2
+    elementwise op (bias add, max, exp, divide) runs on (blk, n_pad,
+    2*n_pad) tiles at 112/128 live lanes instead of 56/128.  The softmax
+    shift uses the JOINT row max of the pair — softmax(s - m) is exactly
+    softmax(s) for any m, so the semantics are unchanged.  Measured 10.9%
+    faster per call at the flagship geometry
+    (benchmarks/mosaic_repros/repro_headpair_lanepack.py: 7.43 vs 8.34 ms,
+    identical max-rel vs the XLA reference); the price — 2x MXU FLOPs in
+    the score/agg dots from the zero blocks — hides behind the VPU work
+    the packing halves, as the bf16-operand repro predicted.
 
     ``rest`` layout (all optional slots resolved statically):
     ``[seed_ref (SMEM, iff dropout_rate > 0)] + [mask_ref (iff an external
@@ -145,6 +194,70 @@ def _attention_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref, kg_ref,
     xn_c = xn.astype(in_dtype).reshape(blk * n_pad, dim)
 
     scale = dim_head ** 0.5
+    if paired:
+        pairs = heads // 2
+        d2 = 2 * dim_head
+        n2 = 2 * n_pad
+        mlo_d = _lane_mask((1, 1, d2), 0, dim_head)
+        mhi_d = _lane_mask((1, 1, d2), dim_head, d2)
+        mlo_n = _lane_mask((1, 1, n2), 0, n_pad)
+        mhi_n = _lane_mask((1, 1, n2), n_pad, n2)
+
+        def seg_rsqrt(sq):
+            s_lo = jnp.sum(sq * mlo_d, -1, keepdims=True)
+            s_hi = jnp.sum(sq * mhi_d, -1, keepdims=True)
+            return (jax.lax.rsqrt(jnp.maximum(s_lo, rms_eps ** 2)) * mlo_d
+                    + jax.lax.rsqrt(jnp.maximum(s_hi, rms_eps ** 2)) * mhi_d)
+
+        # pass 1 (per pair): paired qkv GEMMs, segmented RMSNorm,
+        # block-diagonal score dot, packed bias
+        sims, vs = [], []
+        for hp in range(pairs):
+            q = jnp.dot(xn_c, wqkv_ref[0, hp],
+                        preferred_element_type=jnp.float32
+                        ).reshape(blk, n_pad, d2)
+            k = jnp.dot(xn_c, wqkv_ref[1, hp],
+                        preferred_element_type=jnp.float32
+                        ).reshape(blk, n_pad, d2)
+            v = jnp.dot(xn_c, wqkv_ref[2, hp],
+                        preferred_element_type=jnp.float32
+                        ).reshape(blk, n_pad, d2)
+            qn = q * seg_rsqrt(q * q) * (scale * qg_ref[hp])
+            kn = k * seg_rsqrt(k * k) * (scale * kg_ref[hp])
+            kn_bd = jnp.concatenate([kn * mlo_d, kn * mhi_d], axis=1)
+            sim = jax.lax.dot_general(
+                qn, kn_bd, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (blk, n_pad, n2)
+            sims.append(sim + bias_ref[hp][None])
+            vs.append(v)
+
+        # pass 2 (per pair): packed softmax, dropout, block-diag agg
+        y = jnp.zeros((blk * n_pad, dim), jnp.float32)
+        for hp in range(pairs):
+            sim = sims[hp]
+            m = jnp.max(sim, axis=-1, keepdims=True)   # joint pair max
+            e = jnp.exp(sim - m)
+            s_lo = jnp.sum(e * mlo_n, -1, keepdims=True)
+            s_hi = jnp.sum(e * mhi_n, -1, keepdims=True)
+            attn = e / (s_lo * mlo_n + s_hi * mhi_n)
+            if seed_ref is not None:
+                keep = _keep_mask_pair(seed_ref[0], pl.program_id(0), hp,
+                                       heads, blk, n_pad, dropout_rate)
+                attn = attn * keep
+                if mask_out_ref is not None:
+                    mask_out_ref[:, hp] = keep.astype(mask_out_ref.dtype)
+            elif mask_ref is not None:
+                attn = attn * mask_ref[:, hp].astype(jnp.float32)
+            v_bd = jnp.concatenate([vs[hp] * mlo_d, vs[hp] * mhi_d], axis=1)
+            o_hp = jax.lax.dot_general(
+                attn, v_bd, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (blk, n_pad, d2)
+            y = y + jnp.dot(
+                o_hp.astype(in_dtype).reshape(blk * n_pad, d2),
+                wout_ref[hp], preferred_element_type=jnp.float32)
+        o_ref[...] = y.reshape(blk, n_pad, dim).astype(o_ref.dtype)
+        return
+
     # pass 1 (per head): qkv GEMMs, RMSNorm, score dot, bias
     sims, vs = [], []
     for h in range(heads):
@@ -325,13 +438,23 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
              .reshape(dim, 3, heads, dim_head).transpose(1, 2, 0, 3))
     wout3 = (p["to_out"]["w"].astype(x.dtype)
              .reshape(heads, dim_head, dim))
+    qg = p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32)
+    kg = p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32)
+    # head-PAIR lane packing (see _attention_kernel): adjacent heads ride
+    # side-by-side in the lane axis of every per-head operand
+    paired = heads % 2 == 0
+    if paired:
+        pairs, d2 = heads // 2, 2 * dim_head
+        wqkv4 = (wqkv4.reshape(3, pairs, 2, dim, dim_head)
+                 .transpose(0, 1, 3, 2, 4).reshape(3, pairs, dim, d2))
+        wout3 = wout3.reshape(pairs, d2, dim)
+        qg = qg.reshape(pairs, d2)
+        kg = kg.reshape(pairs, d2)
+        bias = (bias.reshape(pairs, 2, n_pad, n_pad)
+                .transpose(0, 2, 1, 3).reshape(pairs, n_pad, 2 * n_pad))
     operands = [
         x_pad, gamma.astype(x.dtype), beta.astype(x.dtype),
-        wqkv4,
-        p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
-        p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32),
-        wout3,
-        bias,
+        wqkv4, qg, kg, wout3, bias,
     ]
     kwargs = {}
     if dropout_rate > 0.0:
@@ -342,19 +465,28 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
         # mask padding values are therefore irrelevant (pad with zeros)
         mask_pad = jnp.pad(dropout_mask,
                            ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
-        in_specs.append(pl.BlockSpec((blk, heads, n_pad, n_pad),
-                                     lambda i: (i, 0, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        if paired:
+            mask_pad = (mask_pad.reshape(bw, pairs, 2, n_pad, n_pad)
+                        .transpose(0, 1, 3, 2, 4)
+                        .reshape(bw, pairs, n_pad, 2 * n_pad))
+            in_specs.append(pl.BlockSpec((blk, pairs, n_pad, 2 * n_pad),
+                                         lambda i: (i, 0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((blk, heads, n_pad, n_pad),
+                                         lambda i: (i, 0, 0, 0),
+                                         memory_space=pltpu.VMEM))
         operands.append(mask_pad.astype(x.dtype))
     out_shape = jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype)
     out_specs = pl.BlockSpec((blk, n_pad, dim), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     if emit_mask:
+        mshape = ((bw, pairs, n_pad, 2 * n_pad) if paired
+                  else (bw, heads, n_pad, n_pad))
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((bw, heads, n_pad, n_pad),
-                                          jnp.float32)]
+                     jax.ShapeDtypeStruct(mshape, jnp.float32)]
         out_specs = [out_specs,
-                     pl.BlockSpec((blk, heads, n_pad, n_pad),
+                     pl.BlockSpec((blk,) + mshape[1:],
                                   lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)]
     kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -362,7 +494,7 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
     out = pl.pallas_call(
         functools.partial(
             _attention_kernel, heads=heads, dim_head=dim_head,
-            n_pad=n_pad, blk=blk, has_film=has_film,
+            n_pad=n_pad, blk=blk, has_film=has_film, paired=paired,
             dropout_rate=dropout_rate, emit_mask=emit_mask),
         out_shape=out_shape,
         grid=grid,
@@ -371,7 +503,12 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
         **kwargs,
     )(*operands)
     if emit_mask:
-        return out[0][:, :n, :], out[1][:, :, :n, :n]
+        mask_out = out[1]
+        if paired:
+            mask_out = (mask_out.reshape(bw, pairs, n_pad, 2, n_pad)
+                        .transpose(0, 1, 3, 2, 4)
+                        .reshape(bw, heads, n_pad, n_pad))
+        return out[0][:, :n, :], mask_out[:, :, :n, :n]
     return out[:, :n, :]
 
 
