@@ -512,10 +512,30 @@ def _window_attention_fwd_impl(p, x, cond, bias_indices, dropout_mask,
     return out[:, :n, :]
 
 
+def _attention_bwd_ln_film(dxf, xn0, gamma_ref, has_film, r_ln,
+                           dx_ref, dgamma_ref, dbeta_ref):
+    """Shared tail of the backward kernel: FiLM grads + LayerNorm VJP
+    (biased variance), from the attention-input cotangent ``dxf``."""
+    if has_film:
+        gam = gamma_ref[...].astype(jnp.float32)[:, None, :]
+        dgamma_ref[...] = jnp.sum(dxf * xn0, axis=1).astype(dgamma_ref.dtype)
+        dbeta_ref[...] = jnp.sum(dxf, axis=1).astype(dbeta_ref.dtype)
+        dxn0 = dxf * gam
+    else:
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+        dxn0 = dxf
+    mean_d = jnp.mean(dxn0, axis=-1, keepdims=True)
+    mean_dx = jnp.mean(dxn0 * xn0, axis=-1, keepdims=True)
+    dx = r_ln * (dxn0 - mean_d - xn0 * mean_dx)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
 def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
                           kg_ref, wout_ref, bias_ref, dy_ref, *rest,
                           heads: int, dim_head: int, n_pad: int, blk: int,
-                          has_film: bool, dropout_rate: float = 0.0,
+                          has_film: bool, paired: bool = False,
+                          dropout_rate: float = 0.0,
                           ln_eps: float = 1e-5, rms_eps: float = 1e-12):
     """Fused VJP of ``_attention_kernel`` for one tile of BLK windows.
 
@@ -524,6 +544,17 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
     primal inputs, then runs all gradient contractions in the same
     program — the qkv/probs tensors never round-trip through HBM, which is
     what makes the XLA recompute backward lose.
+
+    With ``paired=True`` (even head counts) the same head-pair lane
+    packing as the forward kernel applies: every operand and every weight
+    grad rides in the paired layout ((3, pairs, dim, 2d) wqkv,
+    (pairs, 2d, dim) wout, (pairs, 2d) q/k gammas, (pairs, n_pad,
+    2*n_pad) bias), the n^2 tensors (p, dpm, ds) are (blk, n_pad,
+    2*n_pad) at 112/128 live lanes, and the two contractions whose packed
+    result interleaves cross-head garbage blocks (dv, dkn) mask it off
+    with the same iota lane masks.  The in-kernel dropout hash indexes by
+    (window, head, row, col) in both layouts, so paired fwd + paired bwd
+    regenerate bit-identical masks (and match the per-head kernels).
 
     ``rest`` = ([seed_ref iff dropout_rate > 0], [mask_ref iff external
     mask], dx_ref, dgamma_ref, dbeta_ref, dwqkv_ref, dwout_ref, dqg_ref,
@@ -563,6 +594,142 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
     scale = dim_head ** 0.5
     dy = dy_ref[...].astype(jnp.float32)
     dy2 = dy.reshape(blk * n_pad, dim).astype(in_dtype)
+
+    if paired:
+        pairs = heads // 2
+        d2 = 2 * dim_head
+        mlo_d = _lane_mask((1, 1, d2), 0, dim_head)
+        mhi_d = _lane_mask((1, 1, d2), dim_head, d2)
+        mlo_n = _lane_mask((1, 1, 2 * n_pad), 0, n_pad)
+        mhi_n = _lane_mask((1, 1, 2 * n_pad), n_pad, 2 * n_pad)
+
+        def seg_sums(t):
+            return (jnp.sum(t * mlo_d, -1, keepdims=True),
+                    jnp.sum(t * mhi_d, -1, keepdims=True))
+
+        dxf2 = jnp.zeros((blk * n_pad, dim), jnp.float32)
+        dqg_parts, dkg_parts, dbias_parts = [], [], []
+        for hp in range(pairs):
+            # ---- recompute the paired forward internals ----
+            q = jnp.dot(xf_c, wqkv_ref[0, hp],
+                        preferred_element_type=jnp.float32
+                        ).reshape(blk, n_pad, d2)
+            k = jnp.dot(xf_c, wqkv_ref[1, hp],
+                        preferred_element_type=jnp.float32
+                        ).reshape(blk, n_pad, d2)
+            v = jnp.dot(xf_c, wqkv_ref[2, hp],
+                        preferred_element_type=jnp.float32
+                        ).reshape(blk, n_pad, d2)
+            qq_lo, qq_hi = seg_sums(q * q)
+            kk_lo, kk_hi = seg_sums(k * k)
+            r_q = (jax.lax.rsqrt(jnp.maximum(qq_lo, rms_eps ** 2)) * mlo_d
+                   + jax.lax.rsqrt(jnp.maximum(qq_hi, rms_eps ** 2)) * mhi_d)
+            r_k = (jax.lax.rsqrt(jnp.maximum(kk_lo, rms_eps ** 2)) * mlo_d
+                   + jax.lax.rsqrt(jnp.maximum(kk_hi, rms_eps ** 2)) * mhi_d)
+            u_q, u_k = q * r_q, k * r_k
+            s_q, s_k = scale * qg_ref[hp], scale * kg_ref[hp]
+            qn, kn = u_q * s_q, u_k * s_k
+            kn_bd = jnp.concatenate([kn * mlo_d, kn * mhi_d], axis=1)
+            sim = jax.lax.dot_general(
+                qn, kn_bd, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) + bias_ref[hp][None]
+            m = jnp.max(sim, axis=-1, keepdims=True)   # joint pair max
+            e = jnp.exp(sim - m)
+            s_lo = jnp.sum(e * mlo_n, -1, keepdims=True)
+            s_hi = jnp.sum(e * mhi_n, -1, keepdims=True)
+            p = e / (s_lo * mlo_n + s_hi * mhi_n)      # (blk, n, 2n)
+            if seed_ref is not None:
+                mask_h = _keep_mask_pair(seed_ref[0], pl.program_id(0), hp,
+                                         heads, blk, n_pad, dropout_rate)
+            elif mask_ref is not None:
+                mask_h = mask_ref[:, hp].astype(jnp.float32)
+            else:
+                mask_h = None
+            pm = p * mask_h if mask_h is not None else p
+            v_bd = jnp.concatenate([v * mlo_d, v * mhi_d], axis=1)
+
+            # ---- gradients ----
+            do_p = jax.lax.dot_general(
+                dy2, wout_ref[hp], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+                ).reshape(blk, n_pad, d2)
+            o_p = jax.lax.dot_general(
+                pm, v_bd, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (blk, n, d2)
+            dwout_ref[hp] += jax.lax.dot_general(
+                o_p.reshape(blk * n_pad, d2).astype(in_dtype), dy2,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (d2, dim)
+
+            # packed dv carries cross-head blocks in the off-segments;
+            # fold the two sublane halves back with the lane masks
+            dv_full = jax.lax.dot_general(
+                pm, do_p, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (blk, 2n, d2)
+            dv = (dv_full[:, :n_pad] * mlo_d
+                  + dv_full[:, n_pad:] * mhi_d)        # (blk, n, d2)
+            dpm = jax.lax.dot_general(
+                do_p, v_bd, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (blk, n, 2n)
+            dp = dpm * mask_h if mask_h is not None else dpm
+            dpp = dp * p
+            row = (jnp.sum(dpp * mlo_n, -1, keepdims=True) * mlo_n
+                   + jnp.sum(dpp * mhi_n, -1, keepdims=True) * mhi_n)
+            ds = p * (dp - row)
+            dbias_parts.append(jnp.sum(ds, axis=0, keepdims=True))
+
+            dqn = jax.lax.dot_general(
+                ds, kn_bd, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (blk, n, d2)
+            dkn_full = jax.lax.dot_general(
+                ds, qn, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (blk, 2n, d2)
+            dkn = (dkn_full[:, :n_pad] * mlo_d
+                   + dkn_full[:, n_pad:] * mhi_d)
+            dqg_parts.append(scale * jnp.sum(
+                (dqn * u_q).reshape(blk * n_pad, d2), 0, keepdims=True))
+            dkg_parts.append(scale * jnp.sum(
+                (dkn * u_k).reshape(blk * n_pad, d2), 0, keepdims=True))
+            # segmented l2-normalize backward (projection term vanishes on
+            # the clamped branch, per lane segment)
+            dUq, dUk = dqn * s_q, dkn * s_k
+            pq_lo, pq_hi = seg_sums(dUq * u_q)
+            pk_lo, pk_hi = seg_sums(dUk * u_k)
+            proj_q = (jnp.where(qq_lo > rms_eps ** 2, pq_lo, 0.0) * mlo_d
+                      + jnp.where(qq_hi > rms_eps ** 2, pq_hi, 0.0) * mhi_d)
+            proj_k = (jnp.where(kk_lo > rms_eps ** 2, pk_lo, 0.0) * mlo_d
+                      + jnp.where(kk_hi > rms_eps ** 2, pk_hi, 0.0) * mhi_d)
+            dq_p = (r_q * (dUq - u_q * proj_q)
+                    ).reshape(blk * n_pad, d2).astype(in_dtype)
+            dk_p = (r_k * (dUk - u_k * proj_k)
+                    ).reshape(blk * n_pad, d2).astype(in_dtype)
+            dv_p = dv.reshape(blk * n_pad, d2).astype(in_dtype)
+            dwqkv_ref[0, hp] += jax.lax.dot_general(
+                xf_c, dq_p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (dim, d2)
+            dwqkv_ref[1, hp] += jax.lax.dot_general(
+                xf_c, dk_p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwqkv_ref[2, hp] += jax.lax.dot_general(
+                xf_c, dv_p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxf2 = dxf2 + jax.lax.dot_general(
+                dq_p, wqkv_ref[0, hp], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxf2 = dxf2 + jax.lax.dot_general(
+                dk_p, wqkv_ref[1, hp], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxf2 = dxf2 + jax.lax.dot_general(
+                dv_p, wqkv_ref[2, hp], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dqg_ref[...] += jnp.concatenate(dqg_parts, axis=0)
+        dkg_ref[...] += jnp.concatenate(dkg_parts, axis=0)
+        dbias_ref[...] += jnp.concatenate(dbias_parts, axis=0)
+        _attention_bwd_ln_film(dxf2.reshape(blk, n_pad, dim), xn0,
+                               gamma_ref, has_film, r_ln,
+                               dx_ref, dgamma_ref, dbeta_ref)
+        return
 
     # Weight-sliced per-head structure, mirroring the forward kernel:
     # wqkv rides in as (3, heads, dim, dim_head), wout as (heads,
@@ -669,21 +836,9 @@ def _attention_bwd_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, qg_ref,
     dqg_ref[...] += jnp.concatenate(dqg_parts, axis=0)
     dkg_ref[...] += jnp.concatenate(dkg_parts, axis=0)
     dbias_ref[...] += jnp.concatenate(dbias_parts, axis=0)
-    dxf = dxf2.reshape(blk, n_pad, dim)
-
-    if has_film:
-        dgamma_ref[...] = jnp.sum(dxf * xn0, axis=1).astype(dgamma_ref.dtype)
-        dbeta_ref[...] = jnp.sum(dxf, axis=1).astype(dbeta_ref.dtype)
-        dxn0 = dxf * gam
-    else:
-        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
-        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
-        dxn0 = dxf
-    # LayerNorm backward (biased var)
-    mean_d = jnp.mean(dxn0, axis=-1, keepdims=True)
-    mean_dx = jnp.mean(dxn0 * xn0, axis=-1, keepdims=True)
-    dx = r_ln * (dxn0 - mean_d - xn0 * mean_dx)
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    _attention_bwd_ln_film(dxf2.reshape(blk, n_pad, dim), xn0,
+                           gamma_ref, has_film, r_ln,
+                           dx_ref, dgamma_ref, dbeta_ref)
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 10))
@@ -736,13 +891,23 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
              .reshape(dim, 3, heads, dim_head).transpose(1, 2, 0, 3))
     wout3 = (p["to_out"]["w"].astype(x.dtype)
              .reshape(heads, dim_head, dim))
+    qg = p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32)
+    kg = p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32)
+    # head-PAIR lane packing, mirroring the forward kernel (weight grads
+    # come back in the paired layout and are unpacked below)
+    paired = heads % 2 == 0
+    if paired:
+        pairs, d2 = heads // 2, 2 * dim_head
+        wqkv4 = (wqkv4.reshape(3, pairs, 2, dim, dim_head)
+                 .transpose(0, 1, 3, 2, 4).reshape(3, pairs, dim, d2))
+        wout3 = wout3.reshape(pairs, d2, dim)
+        qg = qg.reshape(pairs, d2)
+        kg = kg.reshape(pairs, d2)
+        bias = (bias.reshape(pairs, 2, n_pad, n_pad)
+                .transpose(0, 2, 1, 3).reshape(pairs, n_pad, 2 * n_pad))
     operands = [
         x_pad, gamma.astype(x.dtype), beta.astype(x.dtype),
-        wqkv4,
-        p["q_norm"]["gamma"][:, 0, :].astype(jnp.float32),
-        p["k_norm"]["gamma"][:, 0, :].astype(jnp.float32),
-        wout3,
-        bias,
+        wqkv4, qg, kg, wout3, bias,
         g_pad,
     ]
     if dropout_rate > 0.0:
@@ -751,34 +916,49 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     if dropout_mask is not None:
         mask_pad = jnp.pad(dropout_mask,
                            ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
-        in_specs.append(blk_spec(blk, heads, n_pad, n_pad))
+        if paired:
+            mask_pad = (mask_pad.reshape(bw, pairs, 2, n_pad, n_pad)
+                        .transpose(0, 1, 3, 2, 4)
+                        .reshape(bw, pairs, n_pad, 2 * n_pad))
+            in_specs.append(blk_spec(blk, pairs, n_pad, 2 * n_pad))
+        else:
+            in_specs.append(blk_spec(blk, heads, n_pad, n_pad))
         operands.append(mask_pad.astype(x.dtype))
 
+    if paired:
+        wq_shape = (3, pairs, dim, d2)
+        wo_shape = (pairs, d2, dim)
+        qg_shape = (pairs, d2)
+        bias_shape = (pairs, n_pad, 2 * n_pad)
+    else:
+        wq_shape = (3, heads, dim, dim_head)
+        wo_shape = (heads, dim_head, dim)
+        qg_shape = (heads, dim_head)
+        bias_shape = (heads, n_pad, n_pad)
     out_shapes = [
         jax.ShapeDtypeStruct((bw, n_pad, dim), x.dtype),          # dx
         jax.ShapeDtypeStruct((bw, dim), jnp.float32),             # dgamma_w
         jax.ShapeDtypeStruct((bw, dim), jnp.float32),             # dbeta_w
-        jax.ShapeDtypeStruct((3, heads, dim, dim_head),
-                             jnp.float32),                        # dwqkv
-        jax.ShapeDtypeStruct((heads, dim_head, dim), jnp.float32),  # dwout
-        jax.ShapeDtypeStruct((heads, dim_head), jnp.float32),     # dqg
-        jax.ShapeDtypeStruct((heads, dim_head), jnp.float32),     # dkg
-        jax.ShapeDtypeStruct((heads, n_pad, n_pad), jnp.float32),  # dbias
+        jax.ShapeDtypeStruct(wq_shape, jnp.float32),              # dwqkv
+        jax.ShapeDtypeStruct(wo_shape, jnp.float32),              # dwout
+        jax.ShapeDtypeStruct(qg_shape, jnp.float32),              # dqg
+        jax.ShapeDtypeStruct(qg_shape, jnp.float32),              # dkg
+        jax.ShapeDtypeStruct(bias_shape, jnp.float32),            # dbias
     ]
     out_specs = [
         blk_spec(blk, n_pad, dim),
         blk_spec(blk, dim),
         blk_spec(blk, dim),
-        const_spec(3, heads, dim, dim_head),
-        const_spec(heads, dim_head, dim),
-        const_spec(heads, dim_head),
-        const_spec(heads, dim_head),
-        const_spec(heads, n_pad, n_pad),
+        const_spec(*wq_shape),
+        const_spec(*wo_shape),
+        const_spec(*qg_shape),
+        const_spec(*qg_shape),
+        const_spec(*bias_shape),
     ]
     (dx_p, dgw, dbw_, dwqkv, dwout, dqg, dkg, dbias_k) = pl.pallas_call(
         functools.partial(
             _attention_bwd_kernel, heads=heads, dim_head=dim_head,
-            n_pad=n_pad, blk=blk, has_film=has_film,
+            n_pad=n_pad, blk=blk, has_film=has_film, paired=paired,
             dropout_rate=dropout_rate),
         out_shape=out_shapes,
         grid=grid,
@@ -789,6 +969,15 @@ def _window_attention_bwd_impl(p, x, cond, bias_indices, dropout_mask, g,
     )(*operands)
 
     dx = dx_p[:, :n, :]
+    if paired:
+        # paired layouts back to per-head
+        dwqkv = (dwqkv.reshape(3, pairs, dim, 2, dim_head)
+                 .transpose(0, 1, 3, 2, 4).reshape(3, heads, dim, dim_head))
+        dwout = dwout.reshape(heads, dim_head, dim)
+        dqg = dqg.reshape(heads, dim_head)
+        dkg = dkg.reshape(heads, dim_head)
+        dbias_k = (dbias_k.reshape(pairs, n_pad, 2, n_pad)
+                   .transpose(0, 2, 1, 3).reshape(heads, n_pad, n_pad))
     # weight grads back to the parameter layouts
     dwqkv = dwqkv.transpose(2, 0, 1, 3).reshape(dim, 3 * dim_inner)
     dwout = dwout.reshape(dim_inner, dim)
