@@ -15,7 +15,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Optional
+from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
@@ -128,27 +128,34 @@ class BatchLoader:
         than the union assembly itself (measured 43.7 vs 74.5 samples/s).
         The single unavoidable copy happens at emission, gathering the
         chosen rows into pooled output buffers.  Held source batches keep
-        their pooled buffers alive for ~``shuffle_buffer`` batches — the
-        pool's per-key cap covers that working set (``bufferpool.py``).
+        their pooled buffers alive until their LAST row is drawn — random
+        draws long-tail that, so the pinned set spans ~``shuffle_buffer *
+        H(batch_size)`` distinct batches (≈2.1x at B=4), not
+        ``shuffle_buffer``.  The pool retention cap ratchets to the
+        OBSERVED pinned count (instrumented round 5: a cap at the nominal
+        reservoir size left 20 fresh ~50 MB allocations per epoch at
+        reservoir=16 — the first-touch fault storm the pool exists to
+        avoid, erratically halving loader throughput).
         """
         from vit_grid_model_tpu.data.bufferpool import POOL
 
-        # the reservoir pins ~shuffle_buffer source batches; retention
-        # below that working set re-pays the first-touch fault storm every
-        # epoch (the drain releases them all, an undersized cap drops the
-        # excess, the refill allocates fresh).  The cap is raised PER KEY,
+        # retention below the pinned working set re-pays the first-touch
+        # fault storm on every refill (an undersized cap drops released
+        # buffers, the refill allocates fresh).  The cap is raised PER KEY,
         # for exactly the field shapes the reservoir handles (advisor r4:
         # a global raise leaked the elevated cap to every pool key for
-        # process lifetime).
-        keyed: set = set()
+        # process lifetime), and ratchets with the measured number of
+        # distinct pinned source batches (+6 covers the emitted batches in
+        # flight: prefetch queue, consumer, the one being written).
+        keyed: Dict[tuple, int] = {}
 
-        def ensure_keys(fields, lead_n):
+        def ensure_keys(fields, lead_n, retain):
             for f in fields:
                 a = np.asarray(f)
                 k = POOL.key((lead_n,) + a.shape[1:], a.dtype)
-                if k not in keyed:
-                    keyed.add(k)
-                    POOL.ensure_retention(self.shuffle_buffer + 4, k)
+                if keyed.get(k, 0) < retain:
+                    keyed[k] = retain
+                    POOL.ensure_retention(retain, k)
         # distinct stream from _batch_indices' default_rng(seed + epoch) for
         # EVERY seed (advisor r4: the old seed*7919 + epoch collided at
         # seed=0, correlating chunk order with reservoir draws) — the
@@ -163,7 +170,7 @@ class BatchLoader:
             chosen = [entries[t] for t in pick]
             for t in sorted(pick, reverse=True):
                 entries.pop(t)
-            ensure_keys(chosen[0][0], n)
+            ensure_keys(chosen[0][0], n, self.shuffle_buffer + 6)
             fields = []
             for f_idx in range(len(chosen[0][0])):
                 proto = np.asarray(chosen[0][0][f_idx])
@@ -173,11 +180,15 @@ class BatchLoader:
                 fields.append(buf)
             return tuple(fields)
 
+        peak_pinned = 0
         for batch in stream:
             src_n = np.asarray(batch[0]).shape[0]
-            ensure_keys(batch, src_n)
             for i in range(src_n):
                 entries.append((batch, i))
+            pinned = len({id(e[0]) for e in entries})
+            if pinned > peak_pinned:
+                peak_pinned = pinned
+                ensure_keys(batch, src_n, peak_pinned + 6)
             while len(entries) >= cap:
                 yield emit(self.batch_size)
         while entries:                               # epoch drain
